@@ -1,0 +1,45 @@
+"""blur: 2-stage separable 3x3 box blur, uint16
+(reference: apps/blur/halide_blur_generator.cpp:39-40 — algorithm:
+blur_x = (in(x,y)+in(x+1,y)+in(x+2,y))/3; blur_y likewise in y).
+
+The hot loop is pure HBM-bandwidth: TPU lowering is a single fused XLA
+(or Pallas) program of shifts+adds, output (W-2, H-2) of a WxH input.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import halide_tpu as hl
+
+from . import App, register
+
+
+@register("blur")
+def build(width: int = 2560, height: int = 1536) -> App:
+    x, y = hl.Var("x"), hl.Var("y")
+    inp = hl.ImageParam(hl.UInt(16), 2, "input")
+
+    blur_x = hl.Func("blur_x")
+    blur_y = hl.Func("blur_y")
+    blur_x[x, y] = (inp[x, y] + inp[x + 1, y] + inp[x + 2, y]) / 3
+    blur_y[x, y] = (blur_x[x, y] + blur_x[x, y + 1] + blur_x[x, y + 2]) / 3
+
+    def make_inputs(seed=0):
+        rng = np.random.default_rng(seed)
+        return {"input": rng.integers(
+            0, 1 << 14, size=(height, width), dtype=np.uint16)}
+
+    def reference(input):
+        a = input.astype(np.uint16)
+        bx = (a[:, :-2] + a[:, 1:-1] + a[:, 2:]) // 3
+        by = (bx[:-2, :] + bx[1:-1, :] + bx[2:, :]) // 3
+        return by
+
+    return App(
+        name="blur",
+        pipeline=hl.Pipeline(blur_y),
+        inputs=[inp],
+        make_inputs=make_inputs,
+        reference=reference,
+        output_sizes=[width - 2, height - 2],
+    )

@@ -1,0 +1,823 @@
+"""Array evaluation of the Expr IR.
+
+This is the "codegen" for the XLA path: a definition's scalar Expr is evaluated
+*whole-array* over an index grid, producing a jnp program XLA fuses onto the
+VPU/MXU. The analog of the reference's lowering+LLVM codegen for the default
+(unscheduled) pipeline — vectorization is implicit (SURVEY.md §2.1
+"Vectorization"), loop nests become array axes.
+
+Key performance machinery:
+- affine index tracking (`AVal`): producer accesses that are affine in the loop
+  vars become `lax.slice`s (which XLA fuses), never gathers;
+- `clamp(affine, lo, hi)` accesses become edge-pad + slice — this is what makes
+  `repeat_edge`-style boundary conditions fuse instead of gathering;
+- only truly data-dependent indexing (LUTs, lens_blur) falls back to gather.
+
+Axis convention: pipeline dim i of a func is numpy axis (ndim-1-i) of its
+realized array; within an evaluation context, axes are addressed by `rpos`
+(0 == minor/lane axis) so that extending a context (for RDoms) prepends axes
+without invalidating positions.
+"""
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import expr as E
+from .expr import CompileError, Expr
+from .htypes import Bool, Float, Int, Type, UInt
+
+# ---------------------------------------------------------------------------
+# values
+# ---------------------------------------------------------------------------
+
+
+class AVal:
+    """Affine integer value: const + sum(coeff * axis_var)."""
+    __slots__ = ("coeffs", "const")
+
+    def __init__(self, coeffs: Dict[str, int], const: int):
+        self.coeffs = {k: v for k, v in coeffs.items() if v != 0}
+        self.const = int(const)
+
+    def is_const(self) -> bool:
+        return not self.coeffs
+
+    def single_var(self) -> Optional[str]:
+        if len(self.coeffs) == 1:
+            return next(iter(self.coeffs))
+        return None
+
+    def __repr__(self):
+        terms = [f"{c}*{v}" for v, c in self.coeffs.items()]
+        terms.append(str(self.const))
+        return "aff(" + " + ".join(terms) + ")"
+
+
+class ClampedAVal:
+    """clamp(affine, lo, hi) — kept symbolic so producer access can lower to
+    edge-pad + slice (the repeat_edge fast path). lo/hi are ints or +-inf."""
+    __slots__ = ("aval", "lo", "hi")
+
+    def __init__(self, aval: AVal, lo, hi):
+        self.aval = aval
+        self.lo = lo
+        self.hi = hi
+
+
+class Axis:
+    __slots__ = ("name", "rpos", "min", "extent")
+
+    def __init__(self, name: str, rpos: int, mn: int, extent: int):
+        self.name = name
+        self.rpos = rpos
+        self.min = mn
+        self.extent = extent
+
+
+class Realized:
+    """A materialized stage: full arrays (np order = reversed dims) + origin."""
+    __slots__ = ("arrays", "mins", "name")
+
+    def __init__(self, arrays, mins, name=""):
+        self.arrays = tuple(arrays)
+        self.mins = tuple(int(m) for m in mins)
+        self.name = name
+
+
+class Ctx:
+    __slots__ = ("ndim", "axes", "bindings", "realizations", "params",
+                 "memo", "rng_seed", "trace")
+
+    def __init__(self, ndim: int, axes: Dict[str, Axis], bindings: dict,
+                 realizations: Dict[int, Realized], params: dict,
+                 rng_seed: int = 0, trace=None):
+        self.ndim = ndim
+        self.axes = axes
+        self.bindings = bindings
+        self.realizations = realizations
+        self.params = params
+        self.memo: dict = {}
+        self.rng_seed = rng_seed
+        self.trace = trace
+
+    def with_bindings(self, bindings: dict) -> "Ctx":
+        return Ctx(self.ndim, self.axes, bindings, self.realizations,
+                   self.params, self.rng_seed, self.trace)
+
+    def extended(self, new_axes: List[Axis]) -> "Ctx":
+        axes = dict(self.axes)
+        for a in new_axes:
+            axes[a.name] = a
+        ndim = max([self.ndim] + [a.rpos + 1 for a in new_axes])
+        return Ctx(ndim, axes, self.bindings, self.realizations, self.params,
+                   self.rng_seed, self.trace)
+
+
+# ---------------------------------------------------------------------------
+# materialization helpers
+# ---------------------------------------------------------------------------
+
+def _shape_at(ctx_ndim: int, rpos: int, extent: int) -> Tuple[int, ...]:
+    s = [1] * ctx_ndim
+    s[ctx_ndim - 1 - rpos] = extent
+    return tuple(s)
+
+
+def axis_array(ax: Axis, ctx: Ctx):
+    a = jnp.arange(ax.min, ax.min + ax.extent, dtype=jnp.int32)
+    return a.reshape(_shape_at(ctx.ndim, ax.rpos, ax.extent))
+
+
+def materialize(v, ctx: Ctx, dtype: Optional[Type] = None):
+    """AVal/ClampedAVal -> int32 array; arrays pass through."""
+    if isinstance(v, ClampedAVal):
+        arr = materialize(v.aval, ctx)
+        lo = v.lo if v.lo != -math.inf else None
+        hi = v.hi if v.hi != math.inf else None
+        if lo is not None and hi is not None:
+            arr = jnp.clip(arr, int(lo), int(hi))
+        elif lo is not None:
+            arr = jnp.maximum(arr, int(lo))
+        elif hi is not None:
+            arr = jnp.minimum(arr, int(hi))
+        return arr
+    if isinstance(v, AVal):
+        out = None
+        for name, c in v.coeffs.items():
+            ax = ctx.axes.get(name)
+            if ax is None:
+                raise CompileError(f"free variable {name} in evaluation")
+            t = axis_array(ax, ctx)
+            t = t * c if c != 1 else t
+            out = t if out is None else out + t
+        if out is None:
+            return jnp.int32(v.const)
+        if v.const:
+            out = out + v.const
+        return out
+    return v
+
+
+def full_shape(ctx: Ctx, axes: List[Axis]) -> Tuple[int, ...]:
+    s = [1] * ctx.ndim
+    for a in axes:
+        s[ctx.ndim - 1 - a.rpos] = a.extent
+    return tuple(s)
+
+
+# ---------------------------------------------------------------------------
+# the evaluator
+# ---------------------------------------------------------------------------
+
+_INTRIN_JNP = {
+    "sqrt": jnp.sqrt, "exp": jnp.exp, "log": jnp.log, "floor": jnp.floor,
+    "ceil": jnp.ceil, "trunc": jnp.trunc, "sin": jnp.sin,
+    "cos": jnp.cos, "tan": jnp.tan, "asin": jnp.arcsin, "acos": jnp.arccos,
+    "atan": jnp.arctan, "sinh": jnp.sinh, "cosh": jnp.cosh, "tanh": jnp.tanh,
+    "asinh": jnp.arcsinh, "acosh": jnp.arccosh, "atanh": jnp.arctanh,
+    "rsqrt": jax.lax.rsqrt, "erf": jax.scipy.special.erf,
+}
+
+
+def evaluate(e: Expr, ctx: Ctx):
+    key = id(e)
+    hit = ctx.memo.get(key)
+    if hit is not None:
+        return hit
+    r = _eval(e, ctx)
+    ctx.memo[key] = r
+    return r
+
+
+def eval_array(e: Expr, ctx: Ctx):
+    v = evaluate(e, ctx)
+    return materialize(v, ctx)
+
+
+def _np_dtype(t: Type):
+    return t.to_np()
+
+
+def _eval(e: Expr, ctx: Ctx):
+    if isinstance(e, E.IntImm):
+        if e.dtype == Int(32):
+            return AVal({}, e.value)
+        if e.dtype.is_bool():
+            return jnp.bool_(bool(e.value))
+        return jnp.array(e.value, dtype=_np_dtype(e.dtype))
+    if isinstance(e, E.FloatImm):
+        return jnp.array(e.value, dtype=_np_dtype(e.dtype))
+    if isinstance(e, E.Variable):
+        if e.name in ctx.bindings:
+            return ctx.bindings[e.name]
+        ax = ctx.axes.get(e.name)
+        if ax is not None:
+            return AVal({e.name: 1}, 0)
+        raise CompileError(f"undefined variable {e.name!r} in evaluation")
+    if isinstance(e, E.Cast):
+        v = evaluate(e.value, ctx)
+        if e.dtype == e.value.dtype:
+            return v
+        if isinstance(v, (AVal, ClampedAVal)):
+            if e.dtype == Int(32) or (e.dtype == Int(64)):
+                return v  # index arithmetic is exact; keep affine form
+            v = materialize(v, ctx)
+        if e.dtype.is_bool():
+            return v.astype(jnp.bool_)
+        if v.dtype == jnp.bool_:
+            v = v.astype(jnp.int32)
+        return v.astype(_np_dtype(e.dtype))
+    if isinstance(e, E.Reinterpret):
+        v = eval_array(e.value, ctx)
+        return jax.lax.bitcast_convert_type(v, _np_dtype(e.dtype))
+    if isinstance(e, E.Binary):
+        return _eval_binary(e, ctx)
+    if isinstance(e, E.Not):
+        return jnp.logical_not(eval_array(e.a, ctx))
+    if isinstance(e, E.Select):
+        c = eval_array(e.cond, ctx)
+        t = eval_array(e.true_value, ctx)
+        f = eval_array(e.false_value, ctx)
+        return jnp.where(c, t, f)
+    if isinstance(e, E.Call):
+        return _eval_call(e, ctx)
+    if isinstance(e, E.Intrin):
+        return _eval_intrin(e, ctx)
+    if isinstance(e, E.Let):
+        v = evaluate(e.value, ctx)
+        child = ctx.with_bindings({**ctx.bindings, e.name: v})
+        return evaluate(e.body, child)
+    if isinstance(e, E.Reduce):
+        return _eval_reduce(e, ctx)
+    if isinstance(e, E.StringImm):
+        return e.value
+    raise CompileError(f"cannot evaluate {type(e).__name__}")
+
+
+def _aval_binary(op, a, b):
+    """Affine-preserving binary ops; returns None if it must materialize."""
+    if op == "add":
+        if isinstance(a, AVal) and isinstance(b, AVal):
+            c = dict(a.coeffs)
+            for k, v in b.coeffs.items():
+                c[k] = c.get(k, 0) + v
+            return AVal(c, a.const + b.const)
+    if op == "sub":
+        if isinstance(a, AVal) and isinstance(b, AVal):
+            c = dict(a.coeffs)
+            for k, v in b.coeffs.items():
+                c[k] = c.get(k, 0) - v
+            return AVal(c, a.const - b.const)
+    if op == "mul":
+        if isinstance(a, AVal) and isinstance(b, AVal):
+            if a.is_const():
+                return AVal({k: v * a.const for k, v in b.coeffs.items()},
+                            a.const * b.const)
+            if b.is_const():
+                return AVal({k: v * b.const for k, v in a.coeffs.items()},
+                            a.const * b.const)
+    if op in ("min", "max"):
+        # clamp patterns: max(min(aff, hi), lo) stays symbolic
+        def as_clamped(x):
+            if isinstance(x, AVal):
+                return ClampedAVal(x, -math.inf, math.inf)
+            if isinstance(x, ClampedAVal):
+                return x
+            return None
+
+        ca, cb = as_clamped(a), as_clamped(b)
+        if ca is not None and isinstance(b, AVal) and b.is_const():
+            v = b.const
+            if op == "min":
+                return ClampedAVal(ca.aval, ca.lo, min(ca.hi, v))
+            return ClampedAVal(ca.aval, max(ca.lo, v), ca.hi)
+        if cb is not None and isinstance(a, AVal) and a.is_const():
+            v = a.const
+            if op == "min":
+                return ClampedAVal(cb.aval, cb.lo, min(cb.hi, v))
+            return ClampedAVal(cb.aval, max(cb.lo, v), cb.hi)
+    if op == "div":
+        if isinstance(a, AVal) and isinstance(b, AVal) and b.is_const() \
+                and b.const != 0:
+            d = b.const
+            if a.is_const():
+                return AVal({}, a.const // d)
+            if all(v % d == 0 for v in a.coeffs.values()) and \
+                    a.const % d == 0:
+                return AVal({k: v // d for k, v in a.coeffs.items()},
+                            a.const // d)
+    if op == "mod":
+        if isinstance(a, AVal) and isinstance(b, AVal) and b.is_const() \
+                and b.const != 0 and a.is_const():
+            return AVal({}, a.const % b.const)
+    return None
+
+
+def _eval_binary(e: E.Binary, ctx: Ctx):
+    a = evaluate(e.a, ctx)
+    b = evaluate(e.b, ctx)
+    if e.dtype.is_integer() and e.dtype.bits in (32, 64) and \
+            not e.dtype.is_uint():
+        r = _aval_binary(e.op, a, b)
+        if r is not None:
+            return r
+    am = materialize(a, ctx)
+    bm = materialize(b, ctx)
+    op = e.op
+    if op == "add":
+        return am + bm
+    if op == "sub":
+        return am - bm
+    if op == "mul":
+        return am * bm
+    if op == "div":
+        if e.dtype.is_float():
+            return am / bm
+        # reference int semantics: floor division, x/0 == 0
+        safe = jnp.where(bm == 0, jnp.ones_like(bm), bm)
+        return jnp.where(bm == 0, jnp.zeros_like(am),
+                         jnp.floor_divide(am, safe))
+    if op == "mod":
+        if e.dtype.is_float():
+            return am - bm * jnp.floor(am / bm)
+        safe = jnp.where(bm == 0, jnp.ones_like(bm), bm)
+        return jnp.where(bm == 0, jnp.zeros_like(am), jnp.mod(am, safe))
+    if op == "min":
+        return jnp.minimum(am, bm)
+    if op == "max":
+        return jnp.maximum(am, bm)
+    if op == "eq":
+        return am == bm
+    if op == "ne":
+        return am != bm
+    if op == "lt":
+        return am < bm
+    if op == "le":
+        return am <= bm
+    if op == "gt":
+        return am > bm
+    if op == "ge":
+        return am >= bm
+    if op == "and":
+        return jnp.logical_and(am, bm)
+    if op == "or":
+        return jnp.logical_or(am, bm)
+    if op == "shl":
+        return jnp.left_shift(am, bm.astype(am.dtype) if hasattr(bm, "astype") else bm)
+    if op == "shr":
+        return jnp.right_shift(am, bm.astype(am.dtype) if hasattr(bm, "astype") else bm)
+    if op == "bitand":
+        return jnp.bitwise_and(am, bm)
+    if op == "bitor":
+        return jnp.bitwise_or(am, bm)
+    if op == "bitxor":
+        return jnp.bitwise_xor(am, bm)
+    raise CompileError(f"unknown binary op {op}")
+
+
+# ---------------------------------------------------------------------------
+# producer access: slice fast path / pad+slice for clamps / gather fallback
+# ---------------------------------------------------------------------------
+
+def _eval_call(e: E.Call, ctx: Ctx):
+    from .func import Func
+    target = e.target
+    real = ctx.realizations.get(id(target))
+    if real is None:
+        if isinstance(target, Func):
+            # inline: bind args, evaluate the body
+            if not target.defined():
+                raise CompileError(f"Func {target.name} is undefined")
+            vals = [evaluate(a, ctx) for a in e.args]
+            names = [v.name for v in target.args()]
+            child = ctx.with_bindings(dict(zip(names, vals)))
+            return evaluate(target._defs[0].values[e.value_index], child)
+        raise CompileError(
+            f"no data bound for {getattr(target, 'name', target)}")
+    return _read_realized(real, e, ctx)
+
+
+def _read_realized(real: Realized, e: E.Call, ctx: Ctx):
+    P = real.arrays[e.value_index]
+    nd = P.ndim
+    args = [evaluate(a, ctx) for a in e.args]
+
+    # classify for the slice path
+    sliceable = True
+    used_vars: List[Optional[str]] = []
+    for v in args:
+        av = v.aval if isinstance(v, ClampedAVal) else v
+        if not isinstance(av, AVal):
+            sliceable = False
+            break
+        sv = av.single_var()
+        if sv is None and not av.is_const():
+            sliceable = False
+            break
+        used_vars.append(sv)
+    if sliceable:
+        # diagonal access (same var twice) cannot slice
+        named = [v for v in used_vars if v is not None]
+        if len(set(named)) != len(named):
+            sliceable = False
+    if sliceable:
+        return _slice_read(P, real, args, ctx)
+    return _gather_read(P, real, args, ctx)
+
+
+def _slice_read(P, real: Realized, args, ctx: Ctx):
+    nd = P.ndim
+    # per pipeline-dim slicing on the corresponding np axis
+    out_axes: List[Optional[Axis]] = []   # per np axis of sliced result
+    starts, limits, strides = [0] * nd, list(P.shape), [1] * nd
+    flips: List[int] = []
+    pads = [(0, 0)] * nd
+    for j, v in enumerate(args):          # j = pipeline dim
+        npax = nd - 1 - j
+        lo_clip, hi_clip = None, None
+        if isinstance(v, ClampedAVal):
+            lo_clip = None if v.lo == -math.inf else int(v.lo)
+            hi_clip = None if v.hi == math.inf else int(v.hi)
+            v = v.aval
+        sv = v.single_var()
+        if sv is None:
+            lo = hi = v.const
+            stride = 0
+        else:
+            ax = ctx.axes[sv]
+            stride = v.coeffs[sv]
+            a0 = v.const + stride * ax.min
+            a1 = v.const + stride * (ax.min + ax.extent - 1)
+            lo, hi = (a0, a1) if stride > 0 else (a1, a0)
+        # apply clamp: the index sequence is monotone; clamping truncates the
+        # ends, realized by edge-padding the producer axis
+        size = P.shape[npax]
+        if lo_clip is not None:
+            lo = max(lo, lo_clip)
+            hi = max(hi, lo_clip)
+        if hi_clip is not None:
+            lo = min(lo, hi_clip)
+            hi = min(hi, hi_clip)
+        lo_idx = lo - real.mins[j]
+        hi_idx = hi - real.mins[j]
+        pad_lo = max(0, -lo_idx)
+        pad_hi = max(0, hi_idx - (size - 1))
+        if (pad_lo or pad_hi) and (lo_clip is None and hi_clip is None
+                                   and stride != 0):
+            raise CompileError(
+                f"access to {real.name} out of realized bounds on dim {j}: "
+                f"[{lo}, {hi}] vs min {real.mins[j]} extent {size}")
+        if stride == 0:
+            ext = 1
+            ax_out = None
+        else:
+            ax_out = ctx.axes[sv]
+            ext = ax_out.extent
+        if lo_clip is None and hi_clip is None:
+            starts[npax] = lo_idx
+            limits[npax] = lo_idx + (ext - 1) * abs(stride) + 1
+            strides[npax] = abs(stride)
+        else:
+            # pad, then slice; index positions clamp into the padded array
+            pads[npax] = (pad_lo, pad_hi)
+            s0 = lo_idx + pad_lo
+            starts[npax] = s0
+            # after clamping, consecutive indices may repeat at the ends; the
+            # simple uniform-stride slice is only valid when |stride| == 1
+            if abs(stride) > 1:
+                return _gather_read(P, real, args, ctx)
+            limits[npax] = s0 + (hi_idx - lo_idx) + 1
+            strides[npax] = 1
+            # widths beyond the clamp range replicate: handle by computing the
+            # clipped region then re-padding with edge to the full extent below
+        if stride < 0:
+            flips.append(npax)
+        out_axes.append(ax_out)
+
+    needs_pad = any(p != (0, 0) for p in pads)
+    if needs_pad:
+        P = jnp.pad(P, pads, mode="edge")
+    Q = jax.lax.slice(P, starts, limits, strides)
+    # clamped dims: the slice above covered only the in-range span; replicate
+    # edges to reach each axis' full extent
+    fixups = []
+    for j, v in enumerate(args):
+        npax = nd - 1 - j
+        if isinstance(v, ClampedAVal):
+            av = v.aval
+            sv = av.single_var()
+            if sv is None:
+                continue
+            ax = ctx.axes[sv]
+            stride = av.coeffs[sv]
+            a0 = av.const + stride * ax.min
+            a1 = av.const + stride * (ax.min + ax.extent - 1)
+            lo_u, hi_u = (a0, a1) if stride > 0 else (a1, a0)
+            lo_c = lo_u if v.lo == -math.inf else max(lo_u, int(v.lo))
+            hi_c = hi_u if v.hi == math.inf else min(hi_u, int(v.hi))
+            pre = lo_c - lo_u
+            post = hi_u - hi_c
+            if pre or post:
+                fixups.append((npax, pre, post))
+    if fixups:
+        padspec = [(0, 0)] * nd
+        for npax, pre, post in fixups:
+            padspec[npax] = (pre, post)
+        Q = jnp.pad(Q, padspec, mode="edge")
+    if flips:
+        Q = jnp.flip(Q, axis=tuple(flips))
+    # place axes into ctx positions
+    # np axis (nd-1-j) corresponds to out_axes[j]
+    newshape = [1] * ctx.ndim
+    perm_src, perm_dst = [], []
+    for j in range(nd):
+        ax = out_axes[j] if j < len(out_axes) else None
+        npax = nd - 1 - j
+        if ax is None:
+            continue
+        perm_src.append(npax)
+        perm_dst.append(ctx.ndim - 1 - ax.rpos)
+        newshape[ctx.ndim - 1 - ax.rpos] = Q.shape[npax]
+    # order Q's kept axes by their destination order
+    order = [s for _, s in sorted(zip(perm_dst, perm_src))]
+    squeeze_axes = tuple(a for a in range(nd) if a not in perm_src)
+    if squeeze_axes:
+        Q = jnp.squeeze(Q, axis=squeeze_axes)
+        # recompute order indices after squeeze
+        remap = {}
+        k = 0
+        for a in range(nd):
+            if a not in squeeze_axes:
+                remap[a] = k
+                k += 1
+        order = [remap[s] for s in order]
+    if order != list(range(Q.ndim)):
+        Q = jnp.transpose(Q, order)
+    return Q.reshape(newshape)
+
+
+def _gather_read(P, real: Realized, args, ctx: Ctx):
+    nd = P.ndim
+    idxs = []
+    for j, v in enumerate(args):
+        arr = materialize(v, ctx)
+        arr = arr - real.mins[j]
+        size = P.shape[nd - 1 - j]
+        arr = jnp.clip(arr, 0, size - 1)   # ClampUnsafeAccesses analog
+        idxs.append(arr)
+    # advanced indexing, np order (reversed pipeline dims); arrays broadcast
+    shaped = [jnp.asarray(i) for i in reversed(idxs)]
+    bc = jnp.broadcast_arrays(*shaped) if len(shaped) > 1 else shaped
+    return P[tuple(bc)]
+
+
+# ---------------------------------------------------------------------------
+# intrinsics
+# ---------------------------------------------------------------------------
+
+def _eval_intrin(e: E.Intrin, ctx: Ctx):
+    n = e.name
+    if n in _INTRIN_JNP:
+        return _INTRIN_JNP[n](eval_array(e.args[0], ctx))
+    if n == "round":
+        # reference round: round-half-to-even (src/IROperator.h round)
+        return jnp.round(eval_array(e.args[0], ctx))
+    if n == "abs":
+        v = eval_array(e.args[0], ctx)
+        r = jnp.abs(v)
+        if e.dtype.is_uint() and not e.args[0].dtype.is_uint():
+            r = r.astype(_np_dtype(e.dtype))
+        return r
+    if n == "absd":
+        a = eval_array(e.args[0], ctx)
+        b = eval_array(e.args[1], ctx)
+        r = jnp.where(a > b, a - b, b - a)
+        if e.dtype.is_uint() and not e.args[0].dtype.is_uint():
+            r = r.astype(_np_dtype(e.dtype))
+        return r
+    if n == "pow":
+        return jnp.power(eval_array(e.args[0], ctx), eval_array(e.args[1], ctx))
+    if n == "atan2":
+        return jnp.arctan2(eval_array(e.args[0], ctx),
+                           eval_array(e.args[1], ctx))
+    if n == "recip":
+        return 1.0 / eval_array(e.args[0], ctx)
+    if n in ("likely", "strict_float"):
+        return evaluate(e.args[0], ctx)
+    if n == "require":
+        return evaluate(e.args[1], ctx)
+    if n == "lerp":
+        zero = eval_array(e.args[0], ctx)
+        one = eval_array(e.args[1], ctx)
+        w = eval_array(e.args[2], ctx)
+        t = e.dtype
+        wt = e.args[2].dtype
+        if wt.is_uint() and not wt.is_bool():
+            w = w.astype(jnp.float32) / float((1 << wt.bits) - 1)
+        if wt.is_bool():
+            return jnp.where(w, one, zero)
+        if t.is_float():
+            return zero * (1.0 - w) + one * w
+        zf = zero.astype(jnp.float32)
+        of = one.astype(jnp.float32)
+        r = zf * (1.0 - w) + of * w
+        return jnp.round(r).astype(_np_dtype(t))
+    if n == "saturating_cast":
+        v = eval_array(e.args[0], ctx)
+        t = e.dtype
+        if t.is_float():
+            return v.astype(_np_dtype(t))
+        lo, hi = t.min_value(), t.max_value()
+        if e.args[0].dtype.is_float():
+            v = jnp.clip(v, float(lo), float(hi))
+            return v.astype(_np_dtype(t))
+        # integer -> integer: clip in a wide signed space
+        wide = v.astype(jnp.int64)
+        wide = jnp.clip(wide, int(lo), min(int(hi), (1 << 62)))
+        return wide.astype(_np_dtype(t))
+    if n == "is_nan":
+        return jnp.isnan(eval_array(e.args[0], ctx))
+    if n == "is_inf":
+        return jnp.isinf(eval_array(e.args[0], ctx))
+    if n == "is_finite":
+        return jnp.isfinite(eval_array(e.args[0], ctx))
+    if n == "popcount":
+        return jax.lax.population_count(eval_array(e.args[0], ctx))
+    if n == "clz":
+        return jax.lax.clz(eval_array(e.args[0], ctx))
+    if n == "ctz":
+        v = eval_array(e.args[0], ctx)
+        bits = e.dtype.bits
+        return jnp.where(v == 0, bits,
+                         (bits - 1) - jax.lax.clz(v & (-v)))
+    if n == "bitnot":
+        return jnp.bitwise_not(eval_array(e.args[0], ctx))
+    if n == "div_rtz":
+        a = eval_array(e.args[0], ctx)
+        b = eval_array(e.args[1], ctx)
+        safe = jnp.where(b == 0, jnp.ones_like(b), b)
+        return jnp.where(b == 0, jnp.zeros_like(a),
+                         jax.lax.div(a, safe))
+    if n == "mod_rtz":
+        a = eval_array(e.args[0], ctx)
+        b = eval_array(e.args[1], ctx)
+        safe = jnp.where(b == 0, jnp.ones_like(b), b)
+        return jnp.where(b == 0, jnp.zeros_like(a), jax.lax.rem(a, safe))
+    if n == "param":
+        p = e.args[0]
+        if id(p) not in ctx.params:
+            raise CompileError(f"Param {p.name} is unset")
+        v = ctx.params[id(p)]
+        return jnp.asarray(v, dtype=_np_dtype(e.dtype))
+    if n == "buffer_min":
+        img, i = e.args
+        real = ctx.realizations.get(id(img))
+        if real is None:
+            raise CompileError(f"ImageParam {img.name} is unbound")
+        return AVal({}, real.mins[i])
+    if n == "buffer_extent":
+        img, i = e.args
+        real = ctx.realizations.get(id(img))
+        if real is None:
+            raise CompileError(f"ImageParam {img.name} is unbound")
+        return AVal({}, real.arrays[0].shape[
+            real.arrays[0].ndim - 1 - i])
+    if n == "random":
+        tag = e.args[-1]
+        seed = ctx.rng_seed
+        key = jax.random.key(np.uint32(tag * 2654435761 % (1 << 31)))
+        if len(e.args) > 1:
+            sd = eval_array(e.args[0], ctx)
+            key = jax.random.fold_in(key, jnp.asarray(sd, jnp.uint32).ravel()[0])
+        if seed:
+            key = jax.random.fold_in(key, seed)
+        shape = tuple(full_shape(ctx, list(ctx.axes.values())))
+        if e.dtype.is_float():
+            return jax.random.uniform(key, shape, dtype=jnp.float32)
+        bits = jax.random.bits(key, shape, dtype=jnp.uint32)
+        return bits.astype(_np_dtype(e.dtype))
+    if n in ("print", "print_when"):
+        # value passthrough; host printing handled by the trace subsystem
+        idx = 0 if n == "print" else 1
+        val = evaluate(e.args[idx], ctx)
+        if ctx.trace is not None:
+            ctx.trace.emit_print(e, val, ctx)
+        return val
+    if n == "undef":
+        raise CompileError("undef() may only appear as a whole update value")
+    raise CompileError(f"unimplemented intrinsic {n!r}")
+
+
+# ---------------------------------------------------------------------------
+# inline reductions
+# ---------------------------------------------------------------------------
+
+def _reduce_identity(op: str, t: Type):
+    if op == "sum":
+        return 0
+    if op == "product":
+        return 1
+    if op == "maximum":
+        return t.min_value()
+    if op == "minimum":
+        return t.max_value()
+    raise CompileError(op)
+
+
+def _eval_reduce(e: E.Reduce, ctx: Ctx):
+    rd = e.rdom
+    # resolve concrete rdom bounds
+    new_axes = []
+    for i, rv in enumerate(rd.dims):
+        mn = _static_int(rv.rmin, ctx)
+        ex = _static_int(rv.rextent, ctx)
+        new_axes.append(Axis(rv.name, ctx.ndim + i, mn, ex))
+    inner = ctx.extended(new_axes)
+    val = eval_array(e.value, inner)
+    red_np_axes = tuple(inner.ndim - 1 - a.rpos for a in new_axes)
+    # broadcast so reduction axes actually exist
+    shp = list(val.shape) if hasattr(val, "shape") else []
+    tgt = list(jnp.broadcast_shapes(tuple(shp),
+                                    full_shape(inner, new_axes)))
+    val = jnp.broadcast_to(val, tgt)
+    mask = None
+    preds = list(rd.predicates) + ([e.where] if e.where is not None else [])
+    if preds:
+        m = None
+        for p in preds:
+            pm = eval_array(p, inner)
+            m = pm if m is None else jnp.logical_and(m, pm)
+        mask = jnp.broadcast_to(m, tgt) if m.shape != tuple(tgt) else m
+    op = e.op
+    if op in ("sum", "product", "maximum", "minimum"):
+        if mask is not None:
+            ident = jnp.array(_reduce_identity(op, e.dtype),
+                              dtype=val.dtype)
+            val = jnp.where(mask, val, ident)
+        fn = {"sum": jnp.sum, "product": jnp.prod,
+              "maximum": jnp.max, "minimum": jnp.min}[op]
+        r = fn(val, axis=red_np_axes, keepdims=True)
+        return r.reshape(_fit_ctx_shape(r.shape, ctx.ndim))
+    if op in ("argmin", "argmax"):
+        big = val
+        if mask is not None:
+            ident = jnp.array(
+                e.value.dtype.max_value() if op == "argmin"
+                else e.value.dtype.min_value(), dtype=val.dtype)
+            big = jnp.where(mask, val, ident)
+        # flatten reduction axes
+        moved = jnp.moveaxis(big, red_np_axes,
+                             tuple(range(len(red_np_axes))))
+        flat = moved.reshape((-1,) + moved.shape[len(red_np_axes):])
+        if op == "argmin":
+            best = jnp.argmin(flat, axis=0)
+            bestv = jnp.min(flat, axis=0)
+        else:
+            best = jnp.argmax(flat, axis=0)
+            bestv = jnp.max(flat, axis=0)
+        k = e.value_index
+        nred = len(new_axes)
+        if k == nred:   # the value itself
+            out = bestv
+        else:
+            # moved axis i <- red_np_axes[i] = rdom dim i; reshape to (-1,...)
+            # is C-order so flat = sum(idx_i * stride_i), stride_i = product
+            # of later dims' sizes
+            sizes = [new_axes[i].extent for i in range(nred)]
+            strides = []
+            s = 1
+            for sz in reversed(sizes):
+                strides.append(s)
+                s *= sz
+            strides = list(reversed(strides))
+            idx = (best // strides[k]) % sizes[k]
+            out = idx.astype(jnp.int32) + new_axes[k].min
+        return out.reshape(_fit_ctx_shape(out.shape, ctx.ndim))
+    raise CompileError(f"unknown reduction {op}")
+
+
+def _fit_ctx_shape(shape, ctx_ndim):
+    shape = list(shape)
+    if len(shape) >= ctx_ndim:
+        return tuple(shape[-ctx_ndim:])
+    return tuple([1] * (ctx_ndim - len(shape)) + shape)
+
+
+def _static_int(e: Expr, ctx: Ctx) -> int:
+    """Evaluate an expr that must be a trace-time constant (rdom bounds,
+    split factors). Params and buffer dims resolve statically."""
+    v = evaluate(e, ctx.with_bindings(ctx.bindings))
+    if isinstance(v, AVal) and v.is_const():
+        return v.const
+    if isinstance(v, AVal):
+        raise CompileError(f"expected static value, got {v!r}")
+    try:
+        return int(v)
+    except Exception as ex:
+        raise CompileError(
+            f"expected a trace-time constant, got traced value: {e!r}") from ex

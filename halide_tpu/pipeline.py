@@ -1,0 +1,616 @@
+"""Pipeline: lowering driver + JIT execution.
+
+The analog of the reference's Pipeline/realize/compile_jit path
+(reference: src/Pipeline.cpp:512-1024, src/Lower.cpp:136-608). Lowering here is:
+
+1. gather the func graph (reference: RealizationOrder.cpp / FindCalls.cpp)
+2. pick materialized vs inlined stages from the schedules
+3. required-region inference outside-in (reference: BoundsInference.cpp —
+   Appendix A #1 "pull" semantics), with self-read/write fixpoint for updates
+4. evaluate each materialized stage as a jnp array program (eval_jnp/updates)
+5. jit + cache the whole thing (reference: Pipeline.cpp:554 same-compile reuse)
+
+XLA then fuses inline stages into consumers exactly where the reference's
+inlining would, and the scheduled Pallas path (lower_pallas.py) takes over for
+fused stencil groups.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import expr as E
+from .bounds import BoundsEngine, Box, Interval
+from .buffer import Buffer, ImageParam, Param, Realization
+from .eval_jnp import Axis, Ctx, Realized, eval_array
+from .expr import CompileError, Expr
+from .func import Func
+from .rdom import RDom
+from .updates import apply_update
+from .visitors import walk
+
+__all__ = ["Pipeline"]
+
+
+class _Graph:
+    def __init__(self):
+        self.funcs: List[Func] = []          # topo order, producers first
+        self.materialized: Dict[int, Func] = {}
+        self.inputs: Dict[int, object] = {}  # ImageParam/Buffer by id
+        self.params: Dict[int, Param] = {}
+        self.deps: Dict[int, set] = {}
+
+
+def _all_def_exprs(f: Func):
+    for d in f._defs:
+        for v in d.values:
+            yield v
+        for a in d.args:
+            if isinstance(a, Expr):
+                yield a
+        for p in d.predicates:
+            yield p
+        if d.rdom is not None:
+            for rv in d.rdom.dims:
+                if rv.rmin is not None:
+                    yield rv.rmin
+                if rv.rextent is not None:
+                    yield rv.rextent
+
+
+def _scan_expr_targets(e: Expr, on_func, on_input, on_param):
+    def fn(n):
+        if isinstance(n, E.Call):
+            t = n.target
+            if isinstance(t, Func):
+                on_func(t)
+            else:
+                on_input(t)
+        elif isinstance(n, E.Intrin):
+            if n.name == "param":
+                on_param(n.args[0])
+            elif n.name in ("buffer_min", "buffer_extent"):
+                on_input(n.args[0])
+            elif n.name in ("sum", ):
+                pass
+        elif isinstance(n, E.Reduce):
+            rd = n.rdom
+            for rv in rd.dims:
+                for b in (rv.rmin, rv.rextent):
+                    if b is not None:
+                        walk(b, fn)
+            for p in rd.predicates:
+                walk(p, fn)
+
+    walk(e, fn)
+
+
+def gather_graph(outputs: List[Func]) -> _Graph:
+    g = _Graph()
+    seen: Dict[int, Func] = {}
+    order: List[Func] = []
+    visiting: set = set()
+
+    def want_materialize(f: Func) -> bool:
+        lvl = f._fschedule.compute_level
+        if lvl.is_inlined():
+            if len(f._defs) > 1:
+                raise CompileError(
+                    f"Func {f.name} with update definitions cannot be inlined")
+            return False
+        if lvl.is_root() or lvl.kind == "at":
+            return True
+        # defaults: inline pure single-value defs; materialize the rest
+        if len(f._defs) > 1:
+            return True
+        if len(f._defs[0].values) > 1:
+            return True
+        if f._fschedule.memoized:
+            return True
+        if getattr(f, "_specializations", None):
+            return True
+        return False
+
+    def visit(f: Func):
+        if id(f) in seen:
+            return
+        if id(f) in visiting:
+            raise CompileError(f"cyclic func graph at {f.name}")
+        if not f.defined():
+            raise CompileError(f"Func {f.name} is used before it is defined")
+        visiting.add(id(f))
+        for e in _all_def_exprs(f):
+            _scan_expr_targets(
+                e,
+                on_func=lambda t: t is not f and visit(t),
+                on_input=lambda t: g.inputs.setdefault(id(t), t),
+                on_param=lambda p: g.params.setdefault(id(p), p),
+            )
+        visiting.discard(id(f))
+        seen[id(f)] = f
+        order.append(f)
+
+    for f in outputs:
+        visit(f)
+    g.funcs = order
+    for f in order:
+        from .func import Func as _F
+        if f in outputs or want_materialize(f):
+            g.materialized[id(f)] = f
+    return g
+
+
+# ---------------------------------------------------------------------------
+# bounds inference
+# ---------------------------------------------------------------------------
+
+class _BoundsPass:
+    def __init__(self, g: _Graph, engine: BoundsEngine):
+        self.g = g
+        self.engine = engine
+        self.boxes: Dict[int, Box] = {}
+        self._inline_memo: Dict[Tuple, bool] = {}
+
+    def input_box(self, t) -> Box:
+        return self.boxes.setdefault(
+            id(t), Box.empty(t.dimensions()))
+
+    def run(self, outputs: List[Func], out_regions: Dict[int, Box]):
+        for f in outputs:
+            self.boxes[id(f)] = out_regions[id(f)]
+        # consumers first
+        for f in reversed(self.g.funcs):
+            if id(f) not in self.g.materialized:
+                continue
+            box = self.boxes.get(id(f))
+            if box is None or not box.defined():
+                # materialized but unused (e.g. wrapper target) — skip
+                continue
+            self._self_fixpoint(f, box)
+            self._footprints(f, box)
+
+    def _def_scope(self, f: Func, d, box: Box) -> Dict[str, Interval]:
+        scope: Dict[str, Interval] = {}
+        for i, v in enumerate(f._args):
+            scope[v.name] = box.dims[i]
+        if d.rdom is not None:
+            for rv in d.rdom.dims:
+                mn = self.engine.bounds(rv.rmin, scope)
+                ex = self.engine.bounds(rv.rextent, scope)
+                scope[rv.name] = Interval(mn.lo, mn.hi + ex.hi - 1)
+        return scope
+
+    def _self_fixpoint(self, f: Func, box: Box):
+        """Grow box[f] to cover its own updates' reads and writes."""
+        for _ in range(16):
+            changed = False
+            for d in f._defs[1:]:
+                scope = self._def_scope(f, d, box)
+                # write bounds
+                for i, a in enumerate(d.args):
+                    iv = self.engine.bounds(a, scope)
+                    if not iv.is_bounded():
+                        raise CompileError(
+                            f"{f.name}: cannot bound update write on dim {i}: "
+                            f"{a!r}")
+                    old = box.dims[i]
+                    box.union_dim(i, iv)
+                    if box.dims[i] != old:
+                        changed = True
+                # self-read bounds
+                for e in list(d.values) + list(d.predicates):
+                    for call in _find_calls_to(e, f):
+                        for i, a in enumerate(call.args):
+                            iv = self.engine.bounds(a, scope)
+                            if not iv.is_bounded():
+                                raise CompileError(
+                                    f"{f.name}: unbounded self-read dim {i}")
+                            old = box.dims[i]
+                            box.union_dim(i, iv)
+                            if box.dims[i] != old:
+                                changed = True
+            if not changed:
+                return
+        raise CompileError(f"{f.name}: self-bounds did not converge")
+
+    def _footprints(self, f: Func, box: Box):
+        for d in f._defs:
+            scope = self._def_scope(f, d, box)
+            exprs = list(d.values) + list(d.predicates) + [
+                a for a in d.args if not isinstance(a, E.Variable)]
+            for e in exprs:
+                self._visit(e, scope, skip_self=f)
+
+    def _visit(self, e: Expr, scope: Dict[str, Interval], skip_self=None):
+        if isinstance(e, E.Call):
+            for a in e.args:
+                self._visit(a, scope, skip_self)
+            t = e.target
+            if isinstance(t, Func) and t is skip_self:
+                return
+            ivs = [self.engine.bounds(a, scope) for a in e.args]
+            if isinstance(t, Func):
+                if id(t) in self.g.materialized:
+                    box = self.boxes.setdefault(
+                        id(t), Box.empty(t.dimensions()))
+                    for i, iv in enumerate(ivs):
+                        if not iv.is_bounded():
+                            raise CompileError(
+                                f"cannot bound required region of {t.name} "
+                                f"dim {i} (accessed from an unbounded index); "
+                                "add clamp() or bound()")
+                        box.union_dim(i, iv)
+                else:
+                    child = {v.name: iv
+                             for v, iv in zip(t.args(), ivs)}
+                    self._visit(t._defs[0].values[e.value_index], child,
+                                skip_self=None)
+            else:
+                box = self.input_box(t)
+                for i, iv in enumerate(ivs):
+                    if not iv.is_bounded():
+                        raise CompileError(
+                            f"cannot bound read of input "
+                            f"{getattr(t, 'name', '?')} dim {i}; add clamp()")
+                    box.union_dim(i, iv)
+            return
+        if isinstance(e, E.Let):
+            self._visit(e.value, scope, skip_self)
+            child = dict(scope)
+            child[e.name] = self.engine.bounds(e.value, scope)
+            self._visit(e.body, child, skip_self)
+            return
+        if isinstance(e, E.Reduce):
+            child = dict(scope)
+            for rv in e.rdom.dims:
+                mn = self.engine.bounds(rv.rmin, scope)
+                ex = self.engine.bounds(rv.rextent, scope)
+                child[rv.name] = Interval(mn.lo, mn.hi + ex.hi - 1)
+            self._visit(e.value, child, skip_self)
+            if e.where is not None:
+                self._visit(e.where, child, skip_self)
+            for p in e.rdom.predicates:
+                self._visit(p, child, skip_self)
+            return
+        for c in e.children():
+            self._visit(c, scope, skip_self)
+
+
+def _find_calls_to(e: Expr, f: Func):
+    out = []
+
+    def fn(n):
+        if isinstance(n, E.Call) and n.target is f:
+            out.append(n)
+
+    walk(e, fn)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# pipeline
+# ---------------------------------------------------------------------------
+
+class Pipeline:
+    def __init__(self, outputs):
+        if isinstance(outputs, Func):
+            outputs = [outputs]
+        self.outputs: List[Func] = list(outputs)
+        self._jit_cache: Dict = {}
+        self.trace = None
+
+    # -- graph signature for the compile cache ---------------------------
+    def _signature(self, g: _Graph) -> Tuple:
+        sig = []
+        for f in g.funcs:
+            fs = f._fschedule
+            sig.append((
+                id(f), len(f._defs),
+                fs.compute_level.kind,
+                id(fs.compute_level.func) if fs.compute_level.func else 0,
+                tuple((d.schedule and len(d.schedule.splits)) or 0
+                      for d in f._defs),
+                tuple(tuple((dm.var, dm.for_type.value)
+                            for dm in d.schedule.dims) for d in f._defs),
+                fs.memoized, fs.is_async, fs.ring_buffer_extent,
+                tuple((b.var, repr(b.min), repr(b.extent))
+                      for b in fs.bounds),
+            ))
+        return tuple(sig)
+
+    # -- region helpers ---------------------------------------------------
+    def _out_regions(self, sizes, dst=None) -> Dict[int, Box]:
+        regions: Dict[int, Box] = {}
+        if dst is not None:
+            bufs = dst if isinstance(dst, (list, tuple)) else [dst]
+            bi = 0
+            for f in self.outputs:
+                n = f.dimensions()
+                b = bufs[bi]
+                bi += 1
+                box = Box([Interval(b.dim(i).min, b.dim(i).max())
+                           for i in range(n)])
+                regions[id(f)] = box
+            return regions
+        if sizes is None:
+            raise CompileError("realize() needs sizes or a destination buffer")
+        if isinstance(sizes, int):
+            sizes = [sizes]
+        for f in self.outputs:
+            n = f.dimensions()
+            if len(sizes) != n:
+                raise CompileError(
+                    f"realize: {f.name} has {n} dims, got {len(sizes)} sizes")
+            box = Box([Interval(0, int(s) - 1) for s in sizes])
+            # apply explicit bound() constraints
+            for b in f._fschedule.bounds:
+                if b.min is not None and b.extent is not None:
+                    for i, v in enumerate(f._args):
+                        if v.name == b.var:
+                            mn = _static_expr_int(b.min)
+                            ex = _static_expr_int(b.extent)
+                            req = box.dims[i]
+                            if req.lo < mn or req.hi > mn + ex - 1:
+                                raise CompileError(
+                                    f"{f.name}: realized region "
+                                    f"{req} exceeds bound({b.var}, {mn}, {ex})")
+            regions[id(f)] = box
+        return regions
+
+    # -- main entry --------------------------------------------------------
+    def _prepare(self, sizes=None, dst=None, jit: bool = True):
+        """Compile (or fetch from cache) the jitted executor for the current
+        graph + sizes + bound inputs. Returns (fn, input_arrays, regions)."""
+        g = gather_graph(self.outputs)
+        regions = self._out_regions(sizes, dst)
+        input_arrays = []
+        input_objs = []
+        for t in g.inputs.values():
+            if isinstance(t, ImageParam):
+                buf = t.get()
+            elif isinstance(t, Buffer):
+                buf = t
+            else:
+                raise CompileError(f"unbound input {t!r}")
+            input_objs.append((t, buf))
+            input_arrays.append(buf.data)
+        param_vals = tuple(
+            (id(p), p.get()) for p in g.params.values())
+        key = (self._signature(g),
+               tuple(tuple(b.dims[i].lo for i in range(len(b.dims)))
+                     + tuple(b.dims[i].hi for i in range(len(b.dims)))
+                     for b in regions.values()),
+               tuple((a.shape, str(a.dtype)) for a in input_arrays),
+               tuple((buf._mins) for (_, buf) in input_objs),
+               param_vals)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            fn = self._build_fn(g, regions, input_objs,
+                                dict(param_vals))
+            if jit:
+                fn = jax.jit(fn)
+            self._jit_cache[key] = fn
+        return fn, input_arrays, regions
+
+    def realize(self, sizes=None, target=None, dst=None, jit: bool = True,
+                device=None):
+        fn, input_arrays, regions = self._prepare(sizes, dst, jit)
+        arrays = fn(tuple(input_arrays))
+        return self._package(arrays, regions, sizes, dst)
+
+    def _build_fn(self, g: _Graph, regions, input_objs, param_vals):
+        def run(inp_arrays):
+            realizations: Dict[int, Realized] = {}
+            for (t, buf), arr in zip(input_objs, inp_arrays):
+                realizations[id(t)] = Realized(
+                    (arr,), buf._mins, getattr(t, "name", "buf"))
+
+            def resolver(name, args):
+                if name == "param":
+                    return param_vals.get(id(args[0]))
+                obj = args[0]
+                i = args[1]
+                real = realizations.get(id(obj))
+                if real is None:
+                    return None
+                if name == "buffer_min":
+                    return real.mins[i]
+                if name == "buffer_extent":
+                    return real.arrays[0].shape[real.arrays[0].ndim - 1 - i]
+                return None
+
+            engine = BoundsEngine(resolver=resolver)
+            bp = _BoundsPass(g, engine)
+            out_regions = {k: Box(list(v.dims)) for k, v in regions.items()}
+            bp.run(self.outputs, out_regions)
+            # validate input required regions
+            for t in g.inputs.values():
+                box = bp.boxes.get(id(t))
+                if box is None or not box.defined():
+                    continue
+                real = realizations[id(t)]
+                nd = real.arrays[0].ndim
+                for i in range(t.dimensions()):
+                    iv = box.dims[i]
+                    lo = real.mins[i]
+                    hi = lo + real.arrays[0].shape[nd - 1 - i] - 1
+                    if iv.lo < lo or iv.hi > hi:
+                        raise CompileError(
+                            f"input {getattr(t, 'name', '?')} is accessed at "
+                            f"dim {i} over {iv}, but its bounds are "
+                            f"[{lo}, {hi}]; add a boundary condition "
+                            "(e.g. repeat_edge) or clamp")
+            # evaluate producers-first
+            ctx0 = Ctx(0, {}, {}, realizations,
+                       {k: v for k, v in param_vals.items()},
+                       trace=self.trace)
+            for f in g.funcs:
+                if id(f) not in g.materialized:
+                    continue
+                box = bp.boxes.get(id(f))
+                if box is None or not box.defined():
+                    continue
+                realizations[id(f)] = _evaluate_func(f, box, ctx0)
+            outs = []
+            for f in self.outputs:
+                real = realizations[id(f)]
+                req = regions[id(f)]
+                box = bp.boxes[id(f)]
+                arrs = []
+                for arr in real.arrays:
+                    # crop grown box back to the requested region
+                    idx = []
+                    n = f.dimensions()
+                    for i in reversed(range(n)):
+                        off = req.dims[i].lo - box.dims[i].lo
+                        idx.append(slice(int(off),
+                                         int(off + req.dims[i].extent())))
+                    arrs.append(arr[tuple(idx)])
+                outs.append(tuple(arrs))
+            return tuple(outs)
+
+        return run
+
+    def _package(self, arrays, regions, sizes, dst):
+        results = []
+        for f, arrs in zip(self.outputs, arrays):
+            req = regions[id(f)]
+            bufs = [Buffer(a, mins=req.mins(), name=f.name) for a in arrs]
+            results.append(bufs[0] if len(bufs) == 1 else Realization(bufs))
+        if dst is not None:
+            # fill destination buffers
+            flat = []
+            for r in results:
+                flat.extend(r if isinstance(r, Realization) else [r])
+            dsts = dst if isinstance(dst, (list, tuple)) else [dst]
+            for d, s in zip(dsts, flat):
+                d._data = s.data
+            return dst
+        if len(results) == 1:
+            return results[0]
+        return Realization(results) if all(
+            not isinstance(r, Realization) for r in results) else results
+
+    # -- AOT-style compiled callable --------------------------------------
+    def compile_to_callable(self, arguments=None, target=None):
+        """Returns fn(*buffers_or_arrays, sizes=[...]) -> Buffer(s), jitted.
+        The analog of Pipeline::compile_to_callable (reference:
+        src/Callable.h:82)."""
+        pipeline = self
+
+        class Callable:
+            def __init__(self):
+                self.arguments = arguments
+
+            def __call__(self, *args, sizes=None):
+                if arguments:
+                    for spec, val in zip(arguments, args):
+                        if isinstance(spec, ImageParam):
+                            spec.set(val if isinstance(val, Buffer)
+                                     else Buffer(val))
+                        elif isinstance(spec, Param):
+                            spec.set(val)
+                return pipeline.realize(sizes)
+
+        return Callable()
+
+    def compile_jit(self, target=None):
+        return self
+
+    def infer_input_bounds(self, sizes, target=None):
+        """Allocate+bind zero-filled buffers for unbound ImageParams sized to
+        the required regions (reference: Pipeline.cpp:1126-1240)."""
+        g = gather_graph(self.outputs)
+        regions = self._out_regions(sizes)
+        # temporarily bind unbound images with 1x1 probes? Instead: run the
+        # bounds pass with estimates/zero mins, using symbolic-free resolver.
+        unbound = [t for t in g.inputs.values()
+                   if isinstance(t, ImageParam) and t._bound is None]
+        param_vals = {}
+        for p in g.params.values():
+            try:
+                param_vals[id(p)] = p.get()
+            except CompileError:
+                if p._estimate is not None:
+                    param_vals[id(p)] = p._estimate
+                else:
+                    raise
+
+        def resolver(name, args):
+            if name == "param":
+                return param_vals.get(id(args[0]))
+            obj, i = args[0], args[1]
+            if isinstance(obj, ImageParam) and obj._bound is not None:
+                b = obj._bound
+                if name == "buffer_min":
+                    return b.dim(i).min
+                return b.dim(i).extent
+            if isinstance(obj, ImageParam) and i in obj.estimates:
+                mn, ex = obj.estimates[i]
+                v = _static_expr_int(mn if name == "buffer_min" else ex)
+                return v
+            return None
+
+        engine = BoundsEngine(resolver=resolver)
+        bp = _BoundsPass(g, engine)
+        bp.run(self.outputs, regions)
+        for t in unbound:
+            box = bp.boxes.get(id(t))
+            if box is None or not box.bounded():
+                raise CompileError(
+                    f"cannot infer bounds for {t.name}")
+            buf = Buffer(type=t.type, sizes=box.extents(),
+                         mins=box.mins(), name=t.name)
+            t.set(buf)
+        return [t.get() for t in unbound]
+
+    def apply_autoscheduler(self, target=None, params=None):
+        from .autoschedule import apply_autoscheduler
+        return apply_autoscheduler(self, target, params)
+
+    def get_func(self, i):
+        g = gather_graph(self.outputs)
+        return g.funcs[i]
+
+    def print_loop_nest(self):
+        from .loopnest import print_loop_nest
+        print_loop_nest(self.outputs[0])
+
+
+def _static_expr_int(e) -> int:
+    if isinstance(e, E.IntImm):
+        return e.value
+    if isinstance(e, int):
+        return e
+    from .eval_jnp import Ctx as _C, _static_int
+    return _static_int(e, _C(0, {}, {}, {}, {}))
+
+
+def _evaluate_func(f: Func, box: Box, ctx0: Ctx) -> Realized:
+    n = f.dimensions()
+    axes = {}
+    for i, v in enumerate(f._args):
+        axes[v.name] = Axis(v.name, i, int(box.dims[i].lo),
+                            int(box.dims[i].extent()))
+    ctx = Ctx(n, axes, {}, ctx0.realizations, ctx0.params,
+              trace=ctx0.trace)
+    from .eval_jnp import full_shape
+    shape = full_shape(ctx, list(axes.values()))
+    init = f._defs[0]
+    arrays = []
+    for i, v in enumerate(init.values):
+        arr = eval_array(v, ctx)
+        arr = jnp.broadcast_to(arr, shape)
+        arr = arr.astype(v.dtype.to_np())
+        arrays.append(arr)
+    current = arrays
+    if len(f._defs) > 1:
+        for d in f._defs[1:]:
+            ctx_u = Ctx(n, axes, {}, dict(ctx0.realizations), ctx0.params,
+                        trace=ctx0.trace)
+            ctx_u.realizations[id(f)] = Realized(current, box.mins(), f.name)
+            current = apply_update(f, d, current, ctx_u)
+    return Realized(current, box.mins(), f.name)

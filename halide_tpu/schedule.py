@@ -1,0 +1,174 @@
+"""Schedule representation (reference: src/Schedule.h).
+
+A declarative description of how each stage is lowered, attached to Funcs and
+Stages by the directive methods in func.py. TPU mapping of the loop-level
+concepts (see SURVEY.md §2.1 "Scheduling API"):
+
+- split/tile       -> Pallas grid dimensions + block shapes
+- vectorize        -> lane-dimension alignment (the 128-lane minor axis)
+- parallel         -> grid dims marked arbitrary-order (megacore partitionable)
+- compute_at       -> producer staged into VMEM scratch inside the consumer's
+                      Pallas kernel (with halo)
+- compute_root     -> materialized as its own XLA/Pallas computation
+- store_at + fold  -> VMEM circular window carried across grid steps
+- async+ring_buffer-> double-buffered DMA pipeline
+"""
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Any, Dict, List, Optional, Tuple
+
+from .expr import CompileError, Expr
+
+
+class ForType(enum.Enum):
+    SERIAL = "serial"
+    PARALLEL = "parallel"
+    VECTORIZED = "vectorized"
+    UNROLLED = "unrolled"
+    GPU_BLOCK = "gpu_block"     # accepted for ported schedules; maps to grid
+    GPU_THREAD = "gpu_thread"   # maps to intra-tile lanes
+
+
+class TailStrategy(enum.Enum):
+    """(reference: src/Schedule.h:35-139). The TPU lowering implements RoundUp,
+    GuardWithIf and PredicateStores via grid padding + masking; ShiftInwards via
+    clamped block index maps. Auto resolves per the reference's rules."""
+    Auto = "auto"
+    RoundUp = "round_up"
+    GuardWithIf = "guard_with_if"
+    Predicate = "predicate"
+    PredicateLoads = "predicate_loads"
+    PredicateStores = "predicate_stores"
+    ShiftInwards = "shift_inwards"
+    ShiftInwardsAndBlend = "shift_inwards_and_blend"
+    RoundUpAndBlend = "round_up_and_blend"
+
+
+@dataclasses.dataclass
+class Split:
+    old: str
+    outer: str
+    inner: str
+    factor: Any            # Expr|int
+    kind: str              # 'split' | 'fuse' | 'rename'
+    tail: TailStrategy = TailStrategy.Auto
+
+
+@dataclasses.dataclass
+class Dim:
+    var: str
+    for_type: ForType = ForType.SERIAL
+    is_rvar: bool = False
+
+
+@dataclasses.dataclass
+class Bound:
+    var: str
+    min: Optional[Expr]
+    extent: Optional[Expr]
+    modulus: Optional[Expr] = None
+    remainder: Optional[Expr] = None
+
+
+class LoopLevel:
+    """compute_at/store_at anchor (reference: src/Schedule.h:205-260).
+    Late-bound: may be created unset and .set() later; locked at lowering."""
+
+    INLINE = "inline"
+    ROOT = "root"
+
+    def __init__(self, func=None, var=None, kind: Optional[str] = None):
+        if kind is not None:
+            self.kind = kind
+            self.func = None
+            self.var = None
+        elif func is None:
+            self.kind = "unset"
+            self.func = None
+            self.var = None
+        else:
+            self.kind = "at"
+            self.func = func
+            self.var = var
+
+    @staticmethod
+    def inlined() -> "LoopLevel":
+        return LoopLevel(kind=LoopLevel.INLINE)
+
+    @staticmethod
+    def root() -> "LoopLevel":
+        return LoopLevel(kind=LoopLevel.ROOT)
+
+    def set(self, other: "LoopLevel") -> None:
+        self.kind = other.kind
+        self.func = other.func
+        self.var = other.var
+
+    def is_inlined(self) -> bool:
+        return self.kind == LoopLevel.INLINE
+
+    def is_root(self) -> bool:
+        return self.kind == LoopLevel.ROOT
+
+    def defined(self) -> bool:
+        return self.kind != "unset"
+
+    def __repr__(self):
+        if self.kind == "at":
+            vn = getattr(self.var, "name", self.var)
+            return f"at({self.func.name}, {vn})"
+        return self.kind
+
+
+@dataclasses.dataclass
+class StorageDim:
+    var: str
+    fold_factor: Optional[int] = None
+    fold_forward: bool = True
+
+
+class StageSchedule:
+    """Per-definition loop schedule (reference: src/Schedule.h:679)."""
+
+    def __init__(self, loop_vars: List[str], rvar_names: List[str]):
+        self.splits: List[Split] = []
+        # innermost-first loop order, like the reference's dims list
+        self.dims: List[Dim] = [Dim(v) for v in loop_vars] + [
+            Dim(r, is_rvar=True) for r in rvar_names]
+        self.atomic = False
+        self.allow_races = False
+        self.fused_with: List[Tuple[Any, str]] = []   # compute_with pairs
+        self.rfactored_from = None
+
+    def find_dim(self, name: str) -> int:
+        for i, d in enumerate(self.dims):
+            if d.var == name:
+                return i
+        raise CompileError(
+            f"no loop variable named {name!r}; have "
+            + ", ".join(d.var for d in self.dims))
+
+    def has_dim(self, name: str) -> bool:
+        return any(d.var == name for d in self.dims)
+
+
+class FuncSchedule:
+    """Per-func schedule (reference: src/Schedule.h:571)."""
+
+    def __init__(self):
+        self.compute_level = LoopLevel()    # unset => default policy
+        self.store_level = LoopLevel()
+        self.bounds: List[Bound] = []
+        self.estimates: List[Bound] = []
+        self.storage_dims: List[StorageDim] = []
+        self.memoized = False
+        self.memoize_eviction_key = None
+        self.is_async = False
+        self.ring_buffer_extent: Optional[int] = None
+        self.trace_loads = False
+        self.trace_stores = False
+        self.trace_realizations = False
+        self.no_profiling = False
+        self.tags: List[str] = []

@@ -1,0 +1,115 @@
+"""Target descriptions (reference: src/Target.h:85-208, src/Target.cpp).
+
+A Target here is `tpu-<generation>[-feature...]`, e.g. "tpu-v5e-profile".
+`host` resolves to the attached accelerator (or cpu interpret mode).
+Env vars HL_TARGET / HL_JIT_TARGET are honored like the reference.
+"""
+from __future__ import annotations
+
+import os
+from typing import FrozenSet, Optional
+
+__all__ = ["Target", "get_host_target", "get_jit_target_from_environment",
+           "get_target_from_environment"]
+
+_KNOWN_ARCH = {"tpu", "cpu", "host"}
+_KNOWN_GEN = {"v4", "v5e", "v5p", "v6e", "generic"}
+_KNOWN_FEATURES = {
+    "profile", "trace_all", "trace_loads", "trace_stores",
+    "trace_realizations", "debug", "no_asserts", "interpret",
+    "no_pallas", "megacore", "strict_float", "jit",
+}
+
+
+class Target:
+    def __init__(self, spec: Optional[str] = None, arch: str = "host",
+                 generation: str = "generic",
+                 features: Optional[FrozenSet[str]] = None):
+        self.arch = arch
+        self.generation = generation
+        self.features = set(features or ())
+        if spec:
+            self._parse(spec)
+        if self.arch == "host":
+            t = get_host_target()
+            self.arch = t.arch
+            if self.generation == "generic":
+                self.generation = t.generation
+
+    def _parse(self, spec: str):
+        parts = spec.split("-")
+        for i, p in enumerate(parts):
+            if i == 0 and p in _KNOWN_ARCH:
+                self.arch = p
+                continue
+            if p in _KNOWN_GEN:
+                self.generation = p
+                continue
+            if p in _KNOWN_FEATURES:
+                self.features.add(p)
+                continue
+            raise ValueError(f"unknown target component {p!r} in {spec!r}")
+
+    def has_feature(self, f: str) -> bool:
+        return f in self.features
+
+    def with_feature(self, f: str) -> "Target":
+        return Target(arch=self.arch, generation=self.generation,
+                      features=frozenset(self.features | {f}))
+
+    def without_feature(self, f: str) -> "Target":
+        return Target(arch=self.arch, generation=self.generation,
+                      features=frozenset(self.features - {f}))
+
+    def __str__(self):
+        parts = [self.arch, self.generation] + sorted(self.features)
+        return "-".join(parts)
+
+    def __repr__(self):
+        return f"Target({str(self)!r})"
+
+    def __eq__(self, o):
+        return (isinstance(o, Target) and self.arch == o.arch
+                and self.generation == o.generation
+                and self.features == o.features)
+
+    def __hash__(self):
+        return hash((self.arch, self.generation, frozenset(self.features)))
+
+
+_host_cache = None
+
+
+def get_host_target() -> Target:
+    global _host_cache
+    if _host_cache is None:
+        arch, gen = "cpu", "generic"
+        try:
+            import jax
+            for d in jax.devices():
+                kind = getattr(d, "device_kind", "").lower()
+                if "tpu" in kind or d.platform in ("tpu", "axon"):
+                    arch = "tpu"
+                    for g in ("v6e", "v5p", "v5e", "v4"):
+                        tag = g.replace("e", " lite") if g.endswith("e") else g
+                        if g in kind or tag in kind:
+                            gen = g
+                            break
+                    else:
+                        if "v5 lite" in kind or "lite" in kind:
+                            gen = "v5e"
+                    break
+        except Exception:
+            pass
+        _host_cache = Target(arch=arch, generation=gen)
+    return Target(arch=_host_cache.arch, generation=_host_cache.generation)
+
+
+def get_target_from_environment() -> Target:
+    s = os.environ.get("HL_TARGET", "host")
+    return Target(s if s != "host" else None)
+
+
+def get_jit_target_from_environment() -> Target:
+    s = os.environ.get("HL_JIT_TARGET", os.environ.get("HL_TARGET", "host"))
+    return Target(s if s != "host" else None)

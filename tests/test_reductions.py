@@ -1,0 +1,234 @@
+"""RDom / update-definition coverage — the analog of the reference's
+rfactor/atomics/histogram/scan correctness tests."""
+import numpy as np
+import pytest
+
+import halide_tpu as hl
+
+
+def test_sum_inline_reduction():
+    x = hl.Var("x")
+    r = hl.RDom(0, 5)
+    inp = hl.Buffer(np.arange(20, dtype=np.int32))
+    f = hl.Func()
+    f[x] = hl.sum(inp[x + r])
+    out = f.realize([10]).to_numpy()
+    ref = np.array([np.arange(20)[i:i + 5].sum() for i in range(10)])
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_sum_with_where():
+    x = hl.Var("x")
+    r = hl.RDom(0, 10)
+    r.where(r.x % 2 == 0)
+    f = hl.Func()
+    f[x] = hl.sum(r.x + x * 0)
+    out = f.realize([3]).to_numpy()
+    np.testing.assert_array_equal(out, [20, 20, 20])
+
+
+def test_maximum_minimum():
+    x = hl.Var("x")
+    r = hl.RDom(0, 4)
+    inp = hl.Buffer(np.array([3, 1, 4, 1, 5, 9, 2, 6], dtype=np.int32))
+    f = hl.Func()
+    f[x] = hl.maximum(inp[x + r]) - hl.minimum(inp[x + r])
+    out = f.realize([5]).to_numpy()
+    ref = [np.max(np.array([3, 1, 4, 1, 5, 9, 2, 6])[i:i + 4])
+           - np.min(np.array([3, 1, 4, 1, 5, 9, 2, 6])[i:i + 4])
+           for i in range(5)]
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_argmax():
+    x = hl.Var("x")
+    r = hl.RDom(0, 8)
+    data = np.array([3, 1, 4, 1, 5, 9, 2, 6], dtype=np.int32)
+    inp = hl.Buffer(data)
+    f = hl.Func("am")
+    am = hl.argmax(inp[r.x + 0 * x])
+    f[x] = (am[0], am[1])
+    out = f.realize([2])
+    np.testing.assert_array_equal(out[0].to_numpy(), [5, 5])
+    np.testing.assert_array_equal(out[1].to_numpy(), [9, 9])
+
+
+def test_update_add():
+    x = hl.Var("x")
+    r = hl.RDom(0, 6)
+    f = hl.Func("acc")
+    f[x] = 0
+    f[x] += r.x * (x + 1)
+    out = f.realize([3]).to_numpy()
+    np.testing.assert_array_equal(out, [15, 30, 45])
+
+
+def test_implicit_init_sum():
+    x = hl.Var("x")
+    r = hl.RDom(1, 4)
+    f = hl.Func()
+    f[x] += r.x + x
+    np.testing.assert_array_equal(f.realize([2]).to_numpy(), [10, 14])
+
+
+def test_histogram_scatter():
+    x = hl.Var("x")
+    data = np.array([0, 1, 1, 2, 2, 2, 3, 3, 3, 3], dtype=np.uint8)
+    inp = hl.Buffer(data)
+    r = hl.RDom(0, 10)
+    hist = hl.Func("hist")
+    hist[x] = 0
+    hist[hl.i32(inp[r.x])] += 1
+    out = hist.realize([4]).to_numpy()
+    np.testing.assert_array_equal(out, [1, 2, 3, 4])
+
+
+def test_histogram_2d_where():
+    x = hl.Var("x")
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 16, size=(8, 8), dtype=np.uint8)
+    inp = hl.Buffer(img)
+    r = hl.RDom(0, 8, 0, 8)
+    r.where(r.x > r.y)
+    hist = hl.Func("hist2")
+    hist[x] = 0
+    hist[hl.i32(inp[r.x, r.y])] += 1
+    out = hist.realize([16]).to_numpy()
+    ref = np.zeros(16, np.int32)
+    for yy in range(8):
+        for xx in range(8):
+            if xx > yy:
+                ref[img[yy, xx]] += 1
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_cumsum_scan():
+    x = hl.Var("x")
+    r = hl.RDom(1, 9)
+    inp = hl.Buffer(np.arange(10, dtype=np.int32))
+    f = hl.Func("cum")
+    f[x] = inp[x]
+    f[r.x] = f[r.x - 1] + inp[r.x]
+    out = f.realize([10]).to_numpy()
+    np.testing.assert_array_equal(out, np.cumsum(np.arange(10)))
+
+
+def test_iir_scan_float():
+    # first-order IIR: y[i] = a*y[i-1] + (1-a)*x[i]  (apps/iir_blur core)
+    x, yv = hl.Var("x"), hl.Var("y")
+    H, W = 6, 8
+    rng = np.random.default_rng(1)
+    data = rng.standard_normal((H, W)).astype(np.float32)
+    inp = hl.Buffer(data)
+    a = 0.5
+    r = hl.RDom(1, W - 1)
+    f = hl.Func("iir")
+    f[x, yv] = inp[x, yv]
+    f[r.x, yv] = a * f[r.x - 1, yv] + (1 - a) * inp[r.x, yv]
+    out = f.realize([W, H]).to_numpy()
+    ref = data.copy()
+    for i in range(1, W):
+        ref[:, i] = a * ref[:, i - 1] + (1 - a) * data[:, i]
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_backward_scan():
+    x = hl.Var("x")
+    inp = hl.Buffer(np.arange(8, dtype=np.int32))
+    r = hl.RDom(0, 7)
+    f = hl.Func()
+    f[x] = inp[x]
+    # iterate x = 6..0: f[6-r] = f[7-r] + ...
+    f[6 - r.x] = f[6 - r.x + 1] + inp[6 - r.x]
+    out = f.realize([8]).to_numpy()
+    ref = np.arange(8)
+    res = ref.copy()
+    for i in range(6, -1, -1):
+        res[i] = res[i + 1] + ref[i]
+    np.testing.assert_array_equal(out, res)
+
+
+def test_min_scan():
+    x = hl.Var("x")
+    data = np.array([5, 3, 8, 1, 9, 2], dtype=np.int32)
+    inp = hl.Buffer(data)
+    r = hl.RDom(1, 5)
+    f = hl.Func()
+    f[x] = inp[x]
+    f[r.x] = hl.min(f[r.x - 1], inp[r.x])
+    out = f.realize([6]).to_numpy()
+    np.testing.assert_array_equal(out, np.minimum.accumulate(data))
+
+
+def test_update_at_fixed_point():
+    x = hl.Var("x")
+    f = hl.Func()
+    f[x] = x
+    f[0] = 100
+    out = f.realize([4]).to_numpy()
+    np.testing.assert_array_equal(out, [100, 1, 2, 3])
+
+
+def test_multiple_updates():
+    x = hl.Var("x")
+    f = hl.Func()
+    f[x] = 0
+    f[x] += 5
+    f[x] *= 2
+    f[x] -= 3
+    np.testing.assert_array_equal(f.realize([3]).to_numpy(), [7, 7, 7])
+
+
+def test_sequential_fallback_general_update():
+    # general data-dependent read-modify chain that defeats all fast paths
+    x = hl.Var("x")
+    data = np.array([2, 0, 1, 2], dtype=np.int32)
+    inp = hl.Buffer(data)
+    r = hl.RDom(0, 4)
+    f = hl.Func()
+    f[x] = 1
+    # f[e] = f[e]*2 + r: scatter with non-trivial combine
+    f[hl.clamp(inp[r.x], 0, 3)] = f[hl.clamp(inp[r.x], 0, 3)] * 2 + r.x
+    out = f.realize([4]).to_numpy()
+    ref = np.ones(4, np.int64)
+    for rr in range(4):
+        e = np.clip(data[rr], 0, 3)
+        ref[e] = ref[e] * 2 + rr
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_rdom_over_buffer():
+    x = hl.Var("x")
+    data = np.arange(6, dtype=np.int32)
+    inp = hl.Buffer(data)
+    r = hl.RDom(inp)
+    f = hl.Func()
+    f[x] = 0
+    f[x] += inp[r.x]
+    np.testing.assert_array_equal(f.realize([1]).to_numpy(), [15])
+
+
+def test_rfactor_sum():
+    x = hl.Var("x")
+    data = np.arange(64, dtype=np.int32)
+    inp = hl.Buffer(data)
+    r = hl.RDom(0, 64)
+    f = hl.Func("total")
+    f[x] = 0
+    f[x] += inp[r.x]
+    u = hl.Var("u")
+    # split the reduction into 8 parallel partials
+    ro, ri = hl.RVar("ro"), hl.RVar("ri")
+    f.update().split(r.x, ro, ri, 8)
+    intm = f.update().rfactor(ro, u)
+    out = f.realize([1]).to_numpy()
+    np.testing.assert_array_equal(out, [data.sum()])
+
+
+def test_product_update():
+    x = hl.Var("x")
+    r = hl.RDom(1, 5)
+    f = hl.Func()
+    f[x] = 1
+    f[x] *= r.x
+    np.testing.assert_array_equal(f.realize([2]).to_numpy(), [120, 120])
