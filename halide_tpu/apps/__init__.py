@@ -50,7 +50,7 @@ class App:
 
     def __init__(self, name, pipeline, inputs, make_inputs, reference,
                  output_sizes, megapixels: Optional[float] = None,
-                 tolerance: float = 0.0):
+                 tolerance: float = 0.0, atol: Optional[float] = None):
         self.name = name
         self.pipeline = pipeline        # halide_tpu.Pipeline
         self.inputs = inputs            # list[ImageParam/Param]
@@ -58,7 +58,8 @@ class App:
         self.reference = reference      # (**np inputs) -> np array(s)
         self.output_sizes = output_sizes
         self.megapixels = megapixels or _mp(output_sizes)
-        self.tolerance = tolerance      # 0 => bit-exact
+        self.tolerance = tolerance      # rtol; 0 => bit-exact
+        self.atol = atol if atol is not None else tolerance
 
     def bind(self, data: dict):
         from ..buffer import Buffer, ImageParam, Param

@@ -1,0 +1,53 @@
+"""stencil_chain: N chained 5x5 stencils, uint16 — fusion-depth stress test
+(reference: apps/stencil_chain/stencil_chain_generator.cpp:14-34)."""
+from __future__ import annotations
+
+import numpy as np
+
+import halide_tpu as hl
+
+from . import App, register
+
+
+@register("stencil_chain")
+def build(width: int = 1536, height: int = 2560, stencils: int = 32) -> App:
+    x, y = hl.Var("x"), hl.Var("y")
+    inp = hl.ImageParam(hl.UInt(16), 2, "input")
+
+    stages = [hl.repeat_edge(inp)]
+    for s in range(stencils):
+        f = hl.Func(f"stage_{s}")
+        e = hl.u16(0)
+        prev = stages[-1]
+        for i in range(-2, 3):
+            for j in range(-2, 3):
+                e = e + hl.u16((i + 3) * (j + 3)) * prev[x + i, y + j]
+        f[x, y] = e
+        # materialize every stage (the reference's CPU schedule stages every
+        # other one; XLA re-fuses neighbors anyway)
+        f.compute_root()
+        stages.append(f)
+
+    output = hl.Func("chain_out")
+    output[x, y] = stages[-1][x, y]
+
+    def make_inputs(seed=0):
+        rng = np.random.default_rng(seed)
+        return {"input": rng.integers(0, 1 << 16, (height, width), np.uint16)}
+
+    def reference(input):
+        # only the *input* is edge-clamped; intermediate stages are computed
+        # over regions grown by the remaining stencil reach
+        cur = np.pad(input, 2 * stencils, mode="edge")
+        for s in range(stencils):
+            H2, W2 = cur.shape[0] - 4, cur.shape[1] - 4
+            acc = np.zeros((H2, W2), np.uint16)
+            for i in range(-2, 3):
+                for j in range(-2, 3):
+                    w = np.uint16((i + 3) * (j + 3))
+                    acc = acc + w * cur[2 + j:2 + j + H2, 2 + i:2 + i + W2]
+            cur = acc
+        return cur
+
+    return App("stencil_chain", hl.Pipeline(output), [inp], make_inputs,
+               reference, [width, height])

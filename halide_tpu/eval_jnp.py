@@ -481,7 +481,7 @@ def _slice_read(P, real: Realized, args, ctx: Ctx):
         if lo_clip is None and hi_clip is None:
             starts[npax] = lo_idx
             limits[npax] = lo_idx + (ext - 1) * abs(stride) + 1
-            strides[npax] = abs(stride)
+            strides[npax] = max(1, abs(stride))
         else:
             # pad, then slice; index positions clamp into the padded array
             pads[npax] = (pad_lo, pad_hi)
@@ -802,6 +802,8 @@ def _eval_reduce(e: E.Reduce, ctx: Ctx):
 
 
 def _fit_ctx_shape(shape, ctx_ndim):
+    if ctx_ndim == 0:
+        return ()
     shape = list(shape)
     if len(shape) >= ctx_ndim:
         return tuple(shape[-ctx_ndim:])

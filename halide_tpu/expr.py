@@ -109,8 +109,14 @@ class Expr:
     def __lshift__(self, o):
         return make_binary("shl", self, o)
 
+    def __rlshift__(self, o):
+        return make_binary("shl", o, self)
+
     def __rshift__(self, o):
         return make_binary("shr", self, o)
+
+    def __rrshift__(self, o):
+        return make_binary("shr", o, self)
 
     def __and__(self, o):
         return make_binary("bitand", self, o)
@@ -407,6 +413,10 @@ def make_binary(op: str, a, b) -> Expr:
     if op in _SHIFTS:
         a = to_expr(a)
         b = to_expr(b, hint=a.dtype)
+        if isinstance(a, IntImm) and isinstance(b, IntImm) and b.value >= 0:
+            if op == "shl":
+                return IntImm(a.dtype, a.value << b.value)
+            return IntImm(a.dtype, a.value >> b.value)
         return Binary(op, a, b, dtype=a.dtype)
     a, b = _unify(a, b)
     # light constant folding keeps index algebra small for bounds inference

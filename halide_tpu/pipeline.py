@@ -602,6 +602,11 @@ def _evaluate_func(f: Func, box: Box, ctx0: Ctx) -> Realized:
     init = f._defs[0]
     arrays = []
     for i, v in enumerate(init.values):
+        if isinstance(v, E.Intrin) and v.name == "undef":
+            # undef(): leave storage uninitialized (reference: undef<T>());
+            # zeros keep determinism
+            arrays.append(jnp.zeros(shape, dtype=v.dtype.to_np()))
+            continue
         arr = eval_array(v, ctx)
         arr = jnp.broadcast_to(arr, shape)
         arr = arr.astype(v.dtype.to_np())

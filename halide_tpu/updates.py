@@ -4,15 +4,20 @@ The TPU lowering of the reference's reduction machinery (reference:
 src/Func.h update defs, src/Associativity.cpp, SURVEY.md §2.5 "Reduction
 parallelism"). Update definitions are classified into array-parallel forms:
 
-- dense combine   f(x) = f(x) op g(r, x)      -> masked reduce over rdom axes
-- scan            f(x, r) = a*f(x, r-1) + b   -> associative scan along r
-                  f(x, r) = op(f(x, r-1), g)  -> segmented op-scan
-- scatter         f(e(r)) = f(e(r)) op v(r)   -> jnp scatter-add/min/max
-- overwrite       f(x) = g(x)                 -> whole-array assignment
-- sequential      anything else               -> lax.fori_loop over the rdom
+- dense combine   f(x) = f(x) op g(r, x)        -> masked reduce over rdom axes
+- scan            f(.., s*r+c, ..) self at -s   -> associative scan along the dim
+                  (linear a*prev+b, or min/max segmented op-scan; direction
+                  and flipped indices like `height-r-1` both handled)
+- slab            f(x, r, c) = v(r, ..)         -> dynamic_update_slice of a
+                  contiguous block (rvar covers the dim with stride +-1)
+- scatter         f(e(r)) = f(e(r)) op v(r)     -> jnp scatter-add/min/max/set
+- overwrite       f(x) = g(x)                   -> whole-array assignment
+- outer loop      one small rdom dim sequential, rest re-classified per step
+                  (proves self-reads disjoint from writes via interval bounds)
+- sequential      anything else                 -> lax.fori_loop over the rdom
 
 The classification mirrors what the reference proves with its associativity
-table, but the *execution* is jnp/XLA array ops, not loop nests.
+table and ParallelRVar analysis, but the *execution* is jnp/XLA array ops.
 """
 from __future__ import annotations
 
@@ -23,10 +28,11 @@ import jax
 import jax.numpy as jnp
 
 from . import expr as E
+from .bounds import BoundsEngine, Interval
 from .expr import CompileError, Expr
 from .eval_jnp import (AVal, Axis, Ctx, Realized, _static_int, eval_array,
                        evaluate, full_shape, materialize)
-from .visitors import exprs_equal, walk
+from .visitors import exprs_equal, mutate, substitute, walk
 
 _COMBINE_OPS = ("add", "sub", "mul", "min", "max")
 
@@ -83,19 +89,24 @@ def _identity_for(op: str, t):
     raise CompileError(op)
 
 
-def _linear_decompose(value: Expr, func, self_call: E.Call):
-    """value == a * self + b with a, b free of self (structural linearity).
-    Returns (a_expr, b_expr) as Exprs or None. Used for linear scans."""
+def _linear_decompose(value: Expr, func, self_call: E.Call, lhs_args):
+    """value == a * self + b with a, b free of the *scanned* self-call.
+    Self-calls exactly aligned with the LHS are pre-update reads of the
+    current array and count as free terms. Returns (a, b) Exprs or None."""
     from .iroperator import select as hselect
+
+    def scanned_refs(e):
+        return [c for c in find_self_calls(e, func)
+                if not _aligned_self(c, lhs_args)]
 
     def rec(e) -> Optional[Tuple[Expr, Expr]]:
         if isinstance(e, E.Call) and e.target is func:
             if exprs_equal(e, self_call):
-                one = E.const(1, e.dtype)
-                zero = E.const(0, e.dtype)
-                return (one, zero)
+                return (E.const(1, e.dtype), E.const(0, e.dtype))
+            if _aligned_self(e, lhs_args):
+                return (E.const(0, e.dtype), e)
             return None
-        if not find_self_calls(e, func):
+        if not scanned_refs(e):
             return (E.const(0, e.dtype), e)
         if isinstance(e, E.Binary):
             ra = rec(e.a)
@@ -108,15 +119,15 @@ def _linear_decompose(value: Expr, func, self_call: E.Call):
             if e.op == "sub":
                 return (aa - ab, ba - bb)
             if e.op == "mul":
-                if not find_self_calls(e.a, func):
+                if not scanned_refs(e.a):
                     return (e.a * ab, e.a * bb)
-                if not find_self_calls(e.b, func):
+                if not scanned_refs(e.b):
                     return (aa * e.b, ba * e.b)
                 return None
-            if e.op == "div" and not find_self_calls(e.b, func):
+            if e.op == "div" and not scanned_refs(e.b):
                 return (aa / e.b, ba / e.b)
             return None
-        if isinstance(e, E.Select) and not find_self_calls(e.cond, func):
+        if isinstance(e, E.Select) and not scanned_refs(e.cond):
             rt = rec(e.true_value)
             rf = rec(e.false_value)
             if rt is None or rf is None:
@@ -147,7 +158,8 @@ def _eval_mask(preds, ctx: Ctx):
     return m
 
 
-def apply_update(func, d, current: List, base_ctx: Ctx) -> List:
+def apply_update(func, d, current: List, base_ctx: Ctx,
+                 allow_self_reads: bool = False) -> List:
     """Apply one update definition to `current` (list of full-shape arrays).
 
     base_ctx: axes = func pure dims over its realized box; realizations
@@ -161,7 +173,11 @@ def apply_update(func, d, current: List, base_ctx: Ctx) -> List:
     if d.rdom is None:
         if aligned:
             return _dense_overwrite(func, d, current, base_ctx)
-        return _scatter_update(func, d, current, base_ctx, rdom_axes=[])
+        r = _scatter_update(func, d, current, base_ctx, rdom_axes=[],
+                            allow_self_reads=allow_self_reads)
+        if r is not None:
+            return r
+        return _sequential_update(func, d, current, base_ctx, [])
 
     rdom_axes = _resolve_rdom(d, base_ctx)
 
@@ -173,9 +189,13 @@ def apply_update(func, d, current: List, base_ctx: Ctx) -> List:
         r = _try_scan(func, d, current, base_ctx, rdom_axes)
         if r is not None:
             return r
-        r = _scatter_update(func, d, current, base_ctx, rdom_axes)
+        r = _scatter_update(func, d, current, base_ctx, rdom_axes,
+                            allow_self_reads=allow_self_reads)
         if r is not None:
             return r
+    r = _try_outer_loop(func, d, current, base_ctx, rdom_axes)
+    if r is not None:
+        return r
     return _sequential_update(func, d, current, base_ctx, rdom_axes)
 
 
@@ -226,7 +246,6 @@ def _try_dense_combine(func, d, current, base_ctx: Ctx, rdom_axes):
             continue
         op, g = dc
         if op == "overwrite":
-            # evaluate at the last rdom iteration
             bind = dict(inner.bindings)
             for a in rdom_axes:
                 bind[a.name] = AVal({}, a.min + a.extent - 1)
@@ -268,59 +287,89 @@ def _try_dense_combine(func, d, current, base_ctx: Ctx, rdom_axes):
 
 
 # ---------------------------------------------------------------------------
+# scans
+# ---------------------------------------------------------------------------
+
+def _affine_in_var(e: Expr, name: str, ctx: Ctx):
+    """e == s*var + c with s in {+1,-1} and c static -> (s, c), else None."""
+    try:
+        v = evaluate(e, ctx.extended(
+            [Axis(name, ctx.ndim, 0, 1)]))
+    except CompileError:
+        return None
+    if not isinstance(v, AVal):
+        return None
+    if set(v.coeffs) != {name}:
+        return None
+    s = v.coeffs[name]
+    if s not in (1, -1):
+        return None
+    return (s, v.const)
+
 
 def _try_scan(func, d, current, base_ctx: Ctx, rdom_axes):
-    """f(..., r, ...) = a*f(..., r-1, ...) + b   or   op(f(r-1), g)."""
+    """f(.., s*r + c, ..) = a * f(.. prev ..) + b  or  op(prev, g)."""
     if len(rdom_axes) != 1:
         return None
     rax = rdom_axes[0]
     rname = rax.name
-    # locate the scanned dim: LHS arg == bare rvar; all others bare pure vars
+    init_args = func._defs[0].args
+    # locate the scanned dim: arg affine in r with stride +-1; others bare
+    # pure vars at their own positions
     scan_dim = None
+    s_c = None
     for i, a in enumerate(d.args):
-        if isinstance(a, E.Variable) and a.name == rname:
-            if scan_dim is not None:
-                return None
-            scan_dim = i
-        elif isinstance(a, E.Variable) and not isinstance(a, type(None)):
+        if isinstance(a, E.Variable) and a.name == init_args[i].name:
             continue
-        else:
+        aff = _affine_in_var(a, rname, base_ctx)
+        if aff is None or scan_dim is not None:
             return None
+        scan_dim = i
+        s_c = aff
     if scan_dim is None:
         return None
-    init_args = func._defs[0].args
-    for i, a in enumerate(d.args):
-        if i != scan_dim and a.name != init_args[i].name:
-            return None
+    s, c0 = s_c
     if len(d.values) != 1:
-        return None   # tuple scans -> sequential
+        return None
     value = d.values[0]
     self_calls = find_self_calls(value, func)
     if not self_calls:
         return None
-    # all self-calls must be the same r-1 or r+1 shifted access
-    shift = None
-    ref = self_calls[0]
+    # classify self-calls: aligned (pre-update reads) vs the scan reference
+    scan_ref = None
     for sc in self_calls:
-        if not exprs_equal(sc, ref):
+        if _aligned_self(sc, d.args):
+            continue
+        ok = True
+        for i, a in enumerate(sc.args):
+            if i == scan_dim:
+                aff = _affine_in_var(a, rname, base_ctx)
+                if aff is None or aff[0] != s or aff[1] - c0 != -s:
+                    ok = False
+            else:
+                if not (isinstance(a, E.Variable)
+                        and a.name == d.args[i].name):
+                    ok = False
+        if not ok:
             return None
-    for i, a in enumerate(ref.args):
-        if i == scan_dim:
-            s = _shift_of(a, rname)
-            if s not in (-1, 1):
-                return None
-            shift = s
-        else:
-            if not (isinstance(a, E.Variable) and a.name == d.args[i].name):
-                return None
-    lin = _linear_decompose(value, func, ref)
+        if scan_ref is None:
+            scan_ref = sc
+        elif not exprs_equal(sc, scan_ref):
+            return None
+    if scan_ref is None:
+        return None
+
+    lin = _linear_decompose(value, func, scan_ref, d.args)
     opscan = None
     if lin is None:
         if isinstance(value, E.Binary) and value.op in ("min", "max"):
             a, b = value.a, value.b
-            if exprs_equal(a, ref) and not find_self_calls(b, func):
+            def free(e):
+                return not [c for c in find_self_calls(e, func)
+                            if not _aligned_self(c, d.args)]
+            if exprs_equal(a, scan_ref) and free(b):
                 opscan = (value.op, b)
-            elif exprs_equal(b, ref) and not find_self_calls(a, func):
+            elif exprs_equal(b, scan_ref) and free(a):
                 opscan = (value.op, a)
         if opscan is None:
             return None
@@ -330,94 +379,91 @@ def _try_scan(func, d, current, base_ctx: Ctx, rdom_axes):
     cur = current[0]
     dtype = cur.dtype
     nd = cur.ndim
-    # np axis of the scanned pipeline dim within the full array
     scan_np = nd - 1 - scan_dim
-    # the rdom spans [rax.min, rax.min+extent-1] in pipeline coords; in array
-    # coords subtract the box min of that dim
     ax = base_ctx.axes[init_args[scan_dim].name]
-    arr_lo = rax.min - ax.min
     n = rax.extent
-    if shift == 1:
-        # backward scan: reverse everything, run forward, reverse back
-        pass
+    # positions p(r) = c0 + s*r over r in [rmin, rmin+n)
+    if s == 1:
+        pos_lo = c0 + rax.min
+    else:
+        pos_lo = c0 - (rax.min + n - 1)
+    arr_lo = pos_lo - ax.min
 
-    # layout: full inner shape but with the scanned pipeline dim held at 1
-    # (the scan var r replaces that dim; its pure var cannot appear in the
-    # update, so evaluated arrays are always size 1 there)
     layout_axes = [a for nm, a in inner.axes.items()
                    if nm != init_args[scan_dim].name]
     inner_shape = full_shape(inner, layout_axes)
     r_np_inner = inner.ndim - 1 - rax.rpos
 
-    def to_scan_layout(x):
-        """inner-ctx array -> full array layout with r occupying the scan dim."""
+    def to_array_layout(x):
+        """inner-ctx (r-indexed) array -> full layout, r mapped to positions
+        along the scanned dim (ascending array order)."""
         x = jnp.broadcast_to(x, inner_shape)
-        x = jnp.moveaxis(x, r_np_inner, 0)          # (n, ...base shape w/ 1)
+        x = jnp.moveaxis(x, r_np_inner, 0)
         x = x.reshape((n,) + tuple(x.shape[-nd:]))
-        x = jnp.squeeze(x, axis=1 + scan_np)        # drop the size-1 scan dim
-        x = jnp.moveaxis(x, 0, scan_np)             # r takes its place
+        x = jnp.squeeze(x, axis=1 + scan_np)
+        x = jnp.moveaxis(x, 0, scan_np)
+        if s == -1:
+            x = jnp.flip(x, scan_np)   # ascending r == descending position
         return x.astype(dtype)
 
-    init_slice_idx = arr_lo - 1 if shift == -1 else arr_lo + n
+    # initial value lives just before the first scanned position
+    init_idx = arr_lo - 1 if s == 1 else arr_lo + n
     idx = [slice(None)] * nd
-    idx[scan_np] = slice(init_slice_idx, init_slice_idx + 1)
-    init_vals = cur[tuple(idx)]                       # size-1 along scan dim
+    idx[scan_np] = slice(init_idx, init_idx + 1)
+    init_vals = cur[tuple(idx)]
     span = [slice(None)] * nd
     span[scan_np] = slice(arr_lo, arr_lo + n)
     cur_span = cur[tuple(span)]
+    backward = (s == -1)
+
+    def run_scan(elems, combine):
+        """elems are in array layout; for s==-1 scan toward lower positions:
+        flip, scan, flip back."""
+        if backward:
+            elems = tuple(jnp.flip(e, scan_np) for e in elems)
+        init_e = elems_init
+        full = tuple(jnp.concatenate([i0, e], axis=scan_np)
+                     for i0, e in zip(init_e, elems))
+        res = jax.lax.associative_scan(combine, full, axis=scan_np)
+        outv = res[-1]
+        outv = jax.lax.slice_in_dim(outv, 1, n + 1, axis=scan_np)
+        if backward:
+            outv = jnp.flip(outv, scan_np)
+        return outv
 
     if lin is not None:
         a_e, b_e = lin
-        a_arr = to_scan_layout(eval_array(a_e, inner))
-        b_arr = to_scan_layout(eval_array(b_e, inner))
+        a_arr = to_array_layout(eval_array(a_e, inner))
+        b_arr = to_array_layout(eval_array(b_e, inner))
         if mask is not None:
-            m = to_scan_layout(_bool_layout(mask, inner))
+            m = to_array_layout(_bool_layout(mask, inner) * 1) != 0
             a_arr = jnp.where(m, a_arr, jnp.zeros_like(a_arr))
             b_arr = jnp.where(m, b_arr, cur_span)
-        if shift == 1:
-            a_arr = jnp.flip(a_arr, scan_np)
-            b_arr = jnp.flip(b_arr, scan_np)
-        # prepend an identity element carrying the initial value
-        a_full = jnp.concatenate(
-            [jnp.zeros_like(init_vals), a_arr], axis=scan_np)
-        b_full = jnp.concatenate([init_vals, b_arr], axis=scan_np)
+        elems_init = (jnp.zeros_like(init_vals), init_vals)
 
         def combine(l, r):
             (al, bl), (ar, br) = l, r
             return (ar * al, ar * bl + br)
 
-        _, res = jax.lax.associative_scan(
-            combine, (a_full, b_full), axis=scan_np)
-        res = jax.lax.slice_in_dim(res, 1, n + 1, axis=scan_np)
-        if shift == 1:
-            res = jnp.flip(res, scan_np)
+        res = run_scan((a_arr, b_arr), combine)
     else:
         op, g = opscan
-        fn = jnp.minimum if op == "min" else jnp.maximum
-        g_arr = to_scan_layout(eval_array(g, inner))
+        fnc = jnp.minimum if op == "min" else jnp.maximum
+        g_arr = to_array_layout(eval_array(g, inner))
         if mask is not None:
-            m = to_scan_layout(_bool_layout(mask, inner))
+            m = to_array_layout(_bool_layout(mask, inner) * 1) != 0
             seg_reset = jnp.logical_not(m)
             u = jnp.where(m, g_arr, cur_span)
         else:
             seg_reset = jnp.zeros(g_arr.shape, dtype=bool)
             u = g_arr
-        if shift == 1:
-            seg_reset = jnp.flip(seg_reset, scan_np)
-            u = jnp.flip(u, scan_np)
-        s_full = jnp.concatenate(
-            [jnp.zeros(init_vals.shape, dtype=bool), seg_reset], axis=scan_np)
-        u_full = jnp.concatenate([init_vals, u], axis=scan_np)
+        elems_init = (jnp.zeros(init_vals.shape, dtype=bool), init_vals)
 
         def combine(l, r):
             (sl, ul), (sr, ur) = l, r
-            return (jnp.logical_or(sl, sr), jnp.where(sr, ur, fn(ul, ur)))
+            return (jnp.logical_or(sl, sr), jnp.where(sr, ur, fnc(ul, ur)))
 
-        _, res = jax.lax.associative_scan(
-            combine, (s_full, u_full), axis=scan_np)
-        res = jax.lax.slice_in_dim(res, 1, n + 1, axis=scan_np)
-        if shift == 1:
-            res = jnp.flip(res, scan_np)
+        res = run_scan((seg_reset, u), combine)
 
     new = jax.lax.dynamic_update_slice_in_dim(
         cur, res.astype(dtype), arr_lo, axis=scan_np)
@@ -428,31 +474,16 @@ def _bool_layout(mask, inner):
     return jnp.broadcast_to(mask, full_shape(inner, list(inner.axes.values())))
 
 
-def _shift_of(e: Expr, rname: str) -> Optional[int]:
-    """e == r + const (coeff 1): return const."""
-    if isinstance(e, E.Variable) and e.name == rname:
-        return 0
-    if isinstance(e, E.Binary) and e.op == "add":
-        if isinstance(e.a, E.Variable) and e.a.name == rname and \
-                isinstance(e.b, E.IntImm):
-            return e.b.value
-        if isinstance(e.b, E.Variable) and e.b.name == rname and \
-                isinstance(e.a, E.IntImm):
-            return e.a.value
-    if isinstance(e, E.Binary) and e.op == "sub":
-        if isinstance(e.a, E.Variable) and e.a.name == rname and \
-                isinstance(e.b, E.IntImm):
-            return -e.b.value
-    return None
-
-
+# ---------------------------------------------------------------------------
+# scatter / slab updates
 # ---------------------------------------------------------------------------
 
-def _scatter_update(func, d, current, base_ctx: Ctx, rdom_axes):
-    """LHS has computed (possibly data-dependent) indices -> jnp scatter."""
+def _scatter_update(func, d, current, base_ctx: Ctx, rdom_axes,
+                    allow_self_reads: bool = False):
+    """LHS has computed indices. Tries the dense-slab fast path (contiguous
+    rvar spans -> dynamic_update_slice) before falling back to jnp scatter."""
     inner = base_ctx.extended(rdom_axes) if rdom_axes else base_ctx
     init_args = func._defs[0].args
-    # classify values: self-combine (accumulate) or self-free (set)
     ops = []
     for i, v in enumerate(d.values):
         if _is_undef(v):
@@ -460,19 +491,159 @@ def _scatter_update(func, d, current, base_ctx: Ctx, rdom_axes):
         dc = _decompose_combine(v, func, d.args, i)
         if dc is not None and dc[0] in ("add", "sub", "mul", "min", "max"):
             ops.append(dc)
-        elif not find_self_calls(v, func):
-            ops.append(("set", v))
         else:
-            return None
+            selfs = find_self_calls(v, func)
+            if not selfs:
+                ops.append(("set", v))
+            elif allow_self_reads:
+                # caller proved the reads are disjoint from the writes
+                ops.append(("set", v))
+            else:
+                return None
+
+    # classify LHS dims
+    kinds = []    # ('axis',) | ('const', c) | ('rspan', Axis, stride, c)
+    used_rvars = {}
+    rax_by_name = {a.name: a for a in rdom_axes}
+    for i, a in enumerate(d.args):
+        if isinstance(a, E.Variable) and a.name == init_args[i].name:
+            kinds.append(("axis",))
+            continue
+        v = evaluate(a, inner)
+        av = v.aval if hasattr(v, "aval") else v
+        if isinstance(av, AVal) and av.is_const() and not hasattr(v, "aval"):
+            kinds.append(("const", av.const))
+            continue
+        sv = av.single_var() if isinstance(av, AVal) else None
+        if (sv is not None and sv in rax_by_name and not hasattr(v, "aval")
+                and av.coeffs[sv] in (1, -1) and sv not in used_rvars):
+            used_rvars[sv] = i
+            kinds.append(("rspan", rax_by_name[sv], av.coeffs[sv], av.const))
+            continue
+        kinds.append(None)
+
     mask = _eval_mask(d.predicates, inner)
-    # index arrays per pipeline dim
+    if all(k is not None for k in kinds):
+        r = _slab_update(func, d, current, base_ctx, inner, rdom_axes,
+                         kinds, ops, mask)
+        if r is not None:
+            return r
+    return _general_scatter(func, d, current, base_ctx, inner, rdom_axes,
+                            ops, mask)
+
+
+def _slab_update(func, d, current, base_ctx, inner, rdom_axes, kinds, ops,
+                 mask):
+    """All LHS dims are identity axes, constants, or full rvar spans: the
+    write region is a box -> evaluate the block and dynamic_update_slice.
+    rvar axes not consumed by the LHS ("free") are reduced per the combine
+    op; a masked or `set` update with free rvars stays on the scatter path
+    (duplicate writes are order-sensitive)."""
+    init_args = func._defs[0].args
+    nd = current[0].ndim
+    spanned = {k[1].name for k in kinds if k is not None and k[0] == "rspan"}
+    free_rvars = [a for a in rdom_axes if a.name not in spanned]
+    if free_rvars and (mask is not None or any(o[0] == "set" for o in ops)):
+        return None
+
+    # target box: offsets + sizes per np axis
+    offsets = [0] * nd
+    sizes = list(current[0].shape)
+    for j, k in enumerate(kinds):
+        npax = nd - 1 - j
+        ax_min = base_ctx.axes[init_args[j].name].min
+        if k[0] == "axis":
+            continue
+        if k[0] == "const":
+            offsets[npax] = k[1] - ax_min
+            sizes[npax] = 1
+        else:
+            _, rax, stride, c = k
+            lo = c + rax.min if stride == 1 else c - (rax.min + rax.extent - 1)
+            offsets[npax] = lo - ax_min
+            sizes[npax] = rax.extent
+    if any(o < 0 or o + s > cs
+           for o, s, cs in zip(offsets, sizes, current[0].shape)):
+        return None   # box exceeds the realization: let scatter drop OOB
+
+    def layout(x, reduce_op=None, identity=None):
+        """inner-ctx value -> block of shape `sizes` (np order)."""
+        # broadcast only over rvar axes + identity-dim base axes; base axes
+        # of const/rspan dims must stay size 1 (their pure vars cannot
+        # appear in the update)
+        layout_axes = list(rdom_axes) + [
+            base_ctx.axes[init_args[j].name]
+            for j, k2 in enumerate(kinds) if k2[0] == "axis"]
+        tgt = full_shape(inner, layout_axes)
+        x = jnp.broadcast_to(x, tgt)
+        if free_rvars:
+            red = tuple(inner.ndim - 1 - a.rpos for a in free_rvars)
+            fn = {"add": jnp.sum, "sub": jnp.sum, "mul": jnp.prod,
+                  "min": jnp.min, "max": jnp.max}[reduce_op]
+            x = fn(x, axis=red, keepdims=True)
+        # permutation: output base axis p takes either the base part axis or
+        # the spanned rvar axis
+        perm = []
+        flips = []
+        for p in range(nd):
+            j = nd - 1 - p   # pipeline dim
+            k = kinds[j]
+            if k[0] == "rspan":
+                _, rax, stride, _c = k
+                perm.append(inner.ndim - 1 - rax.rpos)
+                if stride == -1:
+                    flips.append(p)
+            else:
+                perm.append(inner.ndim - nd + p)
+        unused = [a for a in range(inner.ndim) if a not in perm]
+        x = jnp.transpose(x, unused + perm)
+        x = x.reshape(tuple(x.shape[len(unused):]))
+        if flips:
+            x = jnp.flip(x, axis=tuple(flips))
+        # const dims carry the full box axis (size box-extent or 1): crop to 1
+        idx = tuple(
+            slice(0, 1) if sizes[p] == 1 and x.shape[p] != 1 else slice(None)
+            for p in range(nd))
+        return jnp.broadcast_to(x[idx], tuple(sizes))
+
+    out = []
+    for i, (op, g) in enumerate(ops):
+        cur = current[i]
+        garr = eval_array(g, inner)
+        if mask is not None and op != "set":
+            ident = jnp.array(_identity_for(op, d.values[i].dtype),
+                              dtype=jnp.asarray(garr).dtype)
+            garr = jnp.where(mask, garr, ident)
+        block = layout(garr, reduce_op=op if op != "set" else None)
+        block = block.astype(cur.dtype)
+        sub = jax.lax.dynamic_slice(cur, offsets, sizes)
+        if op == "set":
+            if mask is not None:
+                mblock = layout(mask)
+                nv = jnp.where(mblock, block, sub)
+            else:
+                nv = block
+        elif op == "add":
+            nv = sub + block
+        elif op == "sub":
+            nv = sub - block
+        elif op == "mul":
+            nv = sub * block
+        elif op == "min":
+            nv = jnp.minimum(sub, block)
+        else:
+            nv = jnp.maximum(sub, block)
+        out.append(jax.lax.dynamic_update_slice(cur, nv, offsets))
+    return out
+
+
+def _general_scatter(func, d, current, base_ctx, inner, rdom_axes, ops,
+                     mask):
+    init_args = func._defs[0].args
     idx_arrays = []
     for j, a in enumerate(d.args):
         arr = materialize(evaluate(a, inner), inner)
         idx_arrays.append(arr)
-    # the scatter grid spans the rdom axes plus the identity (bare pure var)
-    # dims only — pure axes not written along must not appear, or every write
-    # would be replicated across them
     identity = [isinstance(a, E.Variable) and a.name == init_args[i].name
                 for i, a in enumerate(d.args)]
     grid_axes = list(rdom_axes) + [
@@ -492,20 +663,21 @@ def _scatter_update(func, d, current, base_ctx: Ctx, rdom_axes):
         cur = current[i]
         this_idx = list(np_idx)
         if mask is not None:
+            bmask = jnp.broadcast_to(mask, ishape)
             if op in ("add", "sub"):
-                garr = jnp.where(mask, garr, jnp.zeros_like(garr))
+                garr = jnp.where(bmask, garr, jnp.zeros_like(garr))
             elif op == "mul":
-                garr = jnp.where(mask, garr, jnp.ones_like(garr))
+                garr = jnp.where(bmask, garr, jnp.ones_like(garr))
             elif op == "min":
                 garr = jnp.where(
-                    mask, garr, jnp.full_like(garr,
-                                              d.values[i].dtype.max_value()))
+                    bmask, garr, jnp.full_like(
+                        garr, d.values[i].dtype.max_value()))
             elif op == "max":
                 garr = jnp.where(
-                    mask, garr, jnp.full_like(garr,
-                                              d.values[i].dtype.min_value()))
+                    bmask, garr, jnp.full_like(
+                        garr, d.values[i].dtype.min_value()))
             else:  # set: push masked-out writes out of bounds (drop mode)
-                this_idx = [jnp.where(mask, ix, cur.shape[k])
+                this_idx = [jnp.where(bmask, ix, cur.shape[k])
                             for k, ix in enumerate(this_idx)]
         t = tuple(this_idx)
         if op == "add":
@@ -525,6 +697,106 @@ def _scatter_update(func, d, current, base_ctx: Ctx, rdom_axes):
 
 
 # ---------------------------------------------------------------------------
+# outer sequential loop
+# ---------------------------------------------------------------------------
+
+class _SubRDom:
+    """Residual reduction domain after binding one dim."""
+    def __init__(self, dims):
+        self.dims = dims
+        self.predicates: List[Expr] = []
+        self.name = "sub"
+
+
+def _try_outer_loop(func, d, current, base_ctx: Ctx, rdom_axes):
+    """Pick one small rdom dim to iterate sequentially (trace-unrolled); the
+    residual update must classify densely, with self-reads proven disjoint
+    from the writes via interval bounds (the ParallelRVar analog)."""
+    from .func import Definition
+
+    if not rdom_axes:
+        return None
+    values_selfs = [find_self_calls(v, func) for v in d.values]
+
+    def resolver(name, args):
+        if name == "param":
+            return base_ctx.params.get(id(args[0]))
+        obj, i = args[0], args[1]
+        real = base_ctx.realizations.get(id(obj))
+        if real is None:
+            return None
+        if name == "buffer_min":
+            return real.mins[i]
+        return real.arrays[0].shape[real.arrays[0].ndim - 1 - i]
+
+    engine = BoundsEngine(resolver=resolver)
+
+    for k, rax in enumerate(rdom_axes):
+        if rax.extent > 64:
+            continue
+        # scope for bounds: pure vars over box, other rvars over ranges
+        scope = {}
+        for nm, a in base_ctx.axes.items():
+            scope[nm] = Interval(a.min, a.min + a.extent - 1)
+        for j, a2 in enumerate(rdom_axes):
+            if j != k:
+                scope[a2.name] = Interval(a2.min, a2.min + a2.extent - 1)
+        # disjointness: for every non-aligned self-call, some dim's read
+        # interval must not intersect the write interval once r_k is a point
+        ok = True
+        for v, selfs in zip(d.values, values_selfs):
+            for sc in selfs:
+                if _aligned_self(sc, d.args):
+                    continue
+                disjoint_dim = False
+                for j in range(len(d.args)):
+                    for point in (rax.min, rax.min + rax.extent - 1):
+                        sp = dict(scope)
+                        sp[rax.name] = Interval(point, point)
+                        w = engine.bounds(d.args[j], sp)
+                        r = engine.bounds(sc.args[j], sp)
+                        if w.hi < r.lo or r.hi < w.lo:
+                            disjoint_dim = True
+                    if disjoint_dim:
+                        break
+                if not disjoint_dim:
+                    ok = False
+                    break
+            if not ok:
+                break
+        if not ok:
+            continue
+        # unroll the loop at trace time
+        others = [a2 for j, a2 in enumerate(rdom_axes) if j != k]
+        other_rvars = [rv for rv in d.rdom.dims if rv.name != rax.name]
+        sub_rdom = _SubRDom(other_rvars) if other_rvars else None
+        cur = list(current)
+        init_args = func._defs[0].args
+        for step in range(rax.extent):
+            val = E.IntImm(E.Int(32), rax.min + step)
+            sub = {rax.name: val}
+            args2 = tuple(substitute(a, sub) if isinstance(a, Expr) else a
+                          for a in d.args)
+            vals2 = tuple(substitute(v, sub) for v in d.values)
+            preds2 = [substitute(p, sub) for p in d.predicates]
+            d2 = Definition.__new__(Definition)
+            d2.args = args2
+            d2.values = vals2
+            d2.rdom = sub_rdom
+            d2.predicates = preds2
+            d2.schedule = d.schedule
+            ctx2 = Ctx(base_ctx.ndim, base_ctx.axes, base_ctx.bindings,
+                       dict(base_ctx.realizations), base_ctx.params,
+                       trace=base_ctx.trace)
+            ctx2.realizations[id(func)] = Realized(
+                cur, [base_ctx.axes[v.name].min for v in init_args],
+                func.name)
+            cur = apply_update(func, d2, cur, ctx2, allow_self_reads=True)
+        return cur
+    return None
+
+
+# ---------------------------------------------------------------------------
 
 def _sequential_update(func, d, current, base_ctx: Ctx, rdom_axes):
     """Fully general fallback: lax.fori_loop over the flattened rdom,
@@ -535,7 +807,6 @@ def _sequential_update(func, d, current, base_ctx: Ctx, rdom_axes):
     total = 1
     for s in sizes:
         total *= s
-    nd = current[0].ndim if current else 0
     box_mins = [base_ctx.axes[v.name].min for v in init_args]
 
     identity_dims = [
@@ -544,7 +815,6 @@ def _sequential_update(func, d, current, base_ctx: Ctx, rdom_axes):
 
     def body(k, cur_tuple):
         cur_list = list(cur_tuple)
-        # bind rvars to scalars
         bind = dict(base_ctx.bindings)
         rem = k
         for i in reversed(range(len(rdom_axes))):
@@ -556,12 +826,10 @@ def _sequential_update(func, d, current, base_ctx: Ctx, rdom_axes):
         ctx2.realizations[id(func)] = Realized(
             cur_list, [base_ctx.axes[v.name].min for v in init_args],
             func.name)
-        # predicate
         pred = None
         for p in d.predicates:
             pv = eval_array(p, ctx2)
             pred = pv if pred is None else jnp.logical_and(pred, pv)
-        # index tuple (np order: reversed dims)
         idx = []
         for j in reversed(range(len(d.args))):
             if identity_dims[j]:

@@ -26,12 +26,41 @@ def check(name, **kw):
     refs = ref if isinstance(ref, (list, tuple)) else [ref]
     for o, r in zip(outs, refs):
         o = o.to_numpy()
-        if app.tolerance == 0.0:
+        if app.tolerance == 0.0 and app.atol == 0.0:
             np.testing.assert_array_equal(o, r)
         else:
-            np.testing.assert_allclose(o, r, rtol=app.tolerance,
-                                       atol=app.tolerance)
+            np.testing.assert_allclose(
+                o.astype(np.float64), np.asarray(r, dtype=np.float64),
+                rtol=app.tolerance, atol=app.atol)
 
 
 def test_blur():
     check("blur", **SMALL)
+
+
+def test_unsharp():
+    check("unsharp", **SMALL)
+
+
+def test_harris():
+    check("harris", **SMALL)
+
+
+def test_hist():
+    check("hist", **SMALL)
+
+
+def test_iir_blur():
+    check("iir_blur", **SMALL)
+
+
+def test_gaussian_blur():
+    check("gaussian_blur", **SMALL)
+
+
+def test_stencil_chain():
+    check("stencil_chain", width=64, height=48, stencils=5)
+
+
+def test_max_filter():
+    check("max_filter", width=48, height=40, radius=6)
