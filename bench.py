@@ -39,28 +39,43 @@ REF_MP = {"blur": 2560 * 1536 / 1e6, "camera_pipe": 2560 * 1920 / 1e6}
 CANONICAL = dict(width=2560, height=1536)
 
 
-def bench_one(app, min_time_s=0.3, max_iters=200):
+def _force(out):
+    """Force execution to completion with a host readback (the attached
+    device tunnel defers execution past block_until_ready)."""
+    x = out
+    while isinstance(x, (tuple, list)):
+        x = x[0]
+    flat = x.reshape(-1)
+    return np.asarray(flat[:1])
+
+
+def bench_one(app, min_delta_s=0.15, max_n=512):
+    """Per-frame time via run-length differencing: time(N runs + readback)
+    and time(2N runs + readback); per = (t2N - tN) / N. This cancels the
+    tunnel round-trip and dispatch overheads (protocol replaces the
+    reference's min-time loop, tools/halide_benchmark.h)."""
     import jax
     fn, input_arrays, _ = app.pipeline._prepare(app.output_sizes)
     args = tuple(jax.device_put(a) for a in input_arrays)
-    # warmup + compile
     out = fn(args)
-    jax.block_until_ready(out)
-    best = math.inf
-    total = 0.0
-    iters = 0
-    batch = 1
-    while total < min_time_s and iters < max_iters:
+    _force(out)
+
+    def run_n(n):
         t0 = time.perf_counter()
-        for _ in range(batch):
-            out = fn(args)
-        jax.block_until_ready(out)
-        dt = (time.perf_counter() - t0) / batch
-        best = min(best, dt)
-        total += dt * batch
-        iters += batch
-        batch = min(batch * 2, 32)
-    return best
+        o = None
+        for _ in range(n):
+            o = fn(args)
+        _force(o)
+        return time.perf_counter() - t0
+
+    n = 4
+    while True:
+        t1 = run_n(n)
+        t2 = run_n(2 * n)
+        if t2 - t1 > min_delta_s or n >= max_n:
+            break
+        n *= 2
+    return max((t2 - t1) / n, 1e-9)
 
 
 def main():

@@ -7,6 +7,14 @@ producers through VMEM exactly where the reference would stage them in cache.
 
 See SURVEY.md for the map from the reference (halide/Halide) to this design.
 """
+import sys as _sys
+
+# deep pipelines (stencil_chain at 32 stages, resnet) recurse through the
+# expression DAG; the reference's analog is HL_COMPILER_STACK_SIZE
+# (reference: src/Util.h run_with_large_stack)
+if _sys.getrecursionlimit() < 100000:
+    _sys.setrecursionlimit(100000)
+
 import jax as _jax
 
 # the reference's type lattice includes 64-bit ints and doubles; everything in

@@ -50,7 +50,8 @@ class App:
 
     def __init__(self, name, pipeline, inputs, make_inputs, reference,
                  output_sizes, megapixels: Optional[float] = None,
-                 tolerance: float = 0.0, atol: Optional[float] = None):
+                 tolerance: float = 0.0, atol: Optional[float] = None,
+                 mismatch_frac: float = 0.0):
         self.name = name
         self.pipeline = pipeline        # halide_tpu.Pipeline
         self.inputs = inputs            # list[ImageParam/Param]
@@ -60,6 +61,9 @@ class App:
         self.megapixels = megapixels or _mp(output_sizes)
         self.tolerance = tolerance      # rtol; 0 => bit-exact
         self.atol = atol if atol is not None else tolerance
+        # fraction of pixels allowed to exceed tolerance (int-cast boundary
+        # sensitivity under FMA reassociation)
+        self.mismatch_frac = mismatch_frac
 
     def bind(self, data: dict):
         from ..buffer import Buffer, ImageParam, Param

@@ -402,32 +402,97 @@ def _eval_call(e: E.Call, ctx: Ctx):
     return _read_realized(real, e, ctx)
 
 
+def _aval_subst(v, name: str, value: int):
+    if isinstance(v, ClampedAVal):
+        return ClampedAVal(_aval_subst(v.aval, name, value), v.lo, v.hi)
+    if isinstance(v, AVal) and name in v.coeffs:
+        c = dict(v.coeffs)
+        k = c.pop(name)
+        return AVal(c, v.const + k * value)
+    return v
+
+
+_MAX_UNROLL_READ = 32
+
+
 def _read_realized(real: Realized, e: E.Call, ctx: Ctx):
     P = real.arrays[e.value_index]
     nd = P.ndim
     args = [evaluate(a, ctx) for a in e.args]
+    return _affine_read(P, real, args, ctx)
 
-    # classify for the slice path
+
+def _affine_read(P, real: Realized, args, ctx: Ctx):
+    """Dispatch: single-var-per-dim -> slice; multi-var affine with small
+    secondary extents -> unrolled shifted slices stacked along the secondary
+    axes (the im2col pattern, e.g. input[x + r] in convolutions); else
+    gather."""
+    nd = P.ndim
     sliceable = True
     used_vars: List[Optional[str]] = []
+    multi_vars: List[str] = []
     for v in args:
         av = v.aval if isinstance(v, ClampedAVal) else v
         if not isinstance(av, AVal):
             sliceable = False
             break
-        sv = av.single_var()
-        if sv is None and not av.is_const():
+        vs = list(av.coeffs)
+        if len(vs) == 0:
+            used_vars.append(None)
+        elif len(vs) == 1:
+            used_vars.append(vs[0])
+        else:
+            # primary = largest extent; the rest get unrolled
+            exts = [(ctx.axes[n].extent, n) for n in vs if n in ctx.axes]
+            if len(exts) != len(vs):
+                sliceable = False
+                break
+            exts.sort()
+            used_vars.append(exts[-1][1])
+            for _, n in exts[:-1]:
+                if n not in multi_vars:
+                    multi_vars.append(n)
+    if sliceable and multi_vars:
+        total = 1
+        for n in multi_vars:
+            total *= ctx.axes[n].extent
+        if total > _MAX_UNROLL_READ:
             sliceable = False
-            break
-        used_vars.append(sv)
+        else:
+            return _unrolled_read(P, real, args, ctx, multi_vars)
     if sliceable:
-        # diagonal access (same var twice) cannot slice
         named = [v for v in used_vars if v is not None]
         if len(set(named)) != len(named):
-            sliceable = False
+            sliceable = False    # diagonal access cannot slice
     if sliceable:
         return _slice_read(P, real, args, ctx)
     return _gather_read(P, real, args, ctx)
+
+
+def _unrolled_read(P, real: Realized, args, ctx: Ctx, multi_vars: List[str]):
+    """Evaluate the read for every assignment of the small secondary vars and
+    concatenate along their context axes."""
+    name = multi_vars[0]
+    rest = multi_vars[1:]
+    ax = ctx.axes[name]
+    parts = []
+    for val in range(ax.min, ax.min + ax.extent):
+        sub_args = [_aval_subst(a, name, val) for a in args]
+        if rest:
+            parts.append(_unrolled_read(P, real, sub_args, ctx, rest))
+        else:
+            parts.append(_affine_read(P, real, sub_args, ctx))
+    npax = ctx.ndim - 1 - ax.rpos
+    parts = [jnp.broadcast_to(p, _merge_shape(p.shape, ctx.ndim))
+             for p in parts]
+    return jnp.concatenate(parts, axis=npax)
+
+
+def _merge_shape(shape, ctx_ndim):
+    s = list(shape)
+    if len(s) < ctx_ndim:
+        s = [1] * (ctx_ndim - len(s)) + s
+    return tuple(s)
 
 
 def _slice_read(P, real: Realized, args, ctx: Ctx):
@@ -574,6 +639,70 @@ def _gather_read(P, real: Realized, args, ctx: Ctx):
     shaped = [jnp.asarray(i) for i in reversed(idxs)]
     bc = jnp.broadcast_arrays(*shaped) if len(shaped) > 1 else shaped
     return P[tuple(bc)]
+
+
+# ---------------------------------------------------------------------------
+# contraction lowering (MXU path)
+# ---------------------------------------------------------------------------
+
+_EINSUM_MIN_FULL = 1 << 22
+_LETTERS = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+
+
+def try_einsum_reduce(e: Expr, ctx: Ctx, red_np_axes):
+    """sum over rdom of a product of factors -> jnp.einsum (dot_general on
+    the MXU) instead of materializing the outer-product grid. This is the
+    contraction path convolutions and matmuls take (SURVEY.md §2.4
+    conv_layer / linear_algebra).
+
+    Returns a reduced array shaped like the full ctx grid with size-1 red
+    axes, or None if not applicable/profitable."""
+    factors: List[Expr] = []
+
+    def peel(x):
+        if isinstance(x, E.Binary) and x.op == "mul":
+            peel(x.a)
+            peel(x.b)
+        else:
+            factors.append(x)
+
+    peel(e)
+    if len(factors) < 2:
+        return None
+    full = full_shape(ctx, list(ctx.axes.values()))
+    fullsz = 1
+    for s in full:
+        fullsz *= s
+    if fullsz < _EINSUM_MIN_FULL:
+        return None
+    subs = []
+    ops = []
+    positions = []
+    for fct in factors:
+        arr = jnp.asarray(eval_array(fct, ctx))
+        pad = ctx.ndim - arr.ndim
+        pos = [pad + a for a in range(arr.ndim) if arr.shape[a] != 1]
+        sq = tuple(a for a in range(arr.ndim) if arr.shape[a] == 1)
+        if sq:
+            arr = jnp.squeeze(arr, axis=sq)
+        subs.append("".join(_LETTERS[p] for p in pos))
+        positions.append(pos)
+        ops.append(arr)
+    red = set(red_np_axes)
+    outpos = sorted({p for ps in positions for p in ps} - red)
+    spec = ",".join(subs) + "->" + "".join(_LETTERS[p] for p in outpos)
+    if e.dtype.is_float():
+        acc = jnp.float32 if e.dtype.bits <= 32 else jnp.float64
+    else:
+        acc = jnp.int32 if e.dtype.bits <= 32 else jnp.int64
+    try:
+        r = jnp.einsum(spec, *ops, preferred_element_type=acc)
+    except Exception:
+        return None
+    shape = [1] * ctx.ndim
+    for p, s in zip(outpos, r.shape):
+        shape[p] = s
+    return r.reshape(shape).astype(_np_dtype(e.dtype))
 
 
 # ---------------------------------------------------------------------------
@@ -738,15 +867,20 @@ def _eval_reduce(e: E.Reduce, ctx: Ctx):
         ex = _static_int(rv.rextent, ctx)
         new_axes.append(Axis(rv.name, ctx.ndim + i, mn, ex))
     inner = ctx.extended(new_axes)
-    val = eval_array(e.value, inner)
     red_np_axes = tuple(inner.ndim - 1 - a.rpos for a in new_axes)
+    preds = list(rd.predicates) + ([e.where] if e.where is not None else [])
+    if e.op == "sum" and not preds:
+        # contraction fast path: product-of-factors sums become einsums
+        r = try_einsum_reduce(e.value, inner, red_np_axes)
+        if r is not None:
+            return r.reshape(_fit_ctx_shape(r.shape, ctx.ndim))
+    val = eval_array(e.value, inner)
     # broadcast so reduction axes actually exist
     shp = list(val.shape) if hasattr(val, "shape") else []
     tgt = list(jnp.broadcast_shapes(tuple(shp),
                                     full_shape(inner, new_axes)))
     val = jnp.broadcast_to(val, tgt)
     mask = None
-    preds = list(rd.predicates) + ([e.where] if e.where is not None else [])
     if preds:
         m = None
         for p in preds:
@@ -799,6 +933,7 @@ def _eval_reduce(e: E.Reduce, ctx: Ctx):
             out = idx.astype(jnp.int32) + new_axes[k].min
         return out.reshape(_fit_ctx_shape(out.shape, ctx.ndim))
     raise CompileError(f"unknown reduction {op}")
+
 
 
 def _fit_ctx_shape(shape, ctx_ndim):

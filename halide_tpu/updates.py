@@ -252,6 +252,16 @@ def _try_dense_combine(func, d, current, base_ctx: Ctx, rdom_axes):
             arr = eval_array(g, base_ctx.with_bindings(bind))
             out.append(jnp.broadcast_to(arr, shape).astype(current[i].dtype))
             continue
+        if op == "add" and mask is None:
+            # contraction fast path (convolutions / matmuls on the MXU)
+            from .eval_jnp import try_einsum_reduce
+            red = try_einsum_reduce(g, inner, red_axes)
+            if red is not None:
+                red = red.reshape(red.shape[-base_ctx.ndim:]) if \
+                    red.ndim > base_ctx.ndim else red
+                nv = current[i] + red.astype(current[i].dtype)
+                out.append(jnp.broadcast_to(nv, shape))
+                continue
         garr = eval_array(g, inner)
         garr = jnp.broadcast_to(garr, jnp.broadcast_shapes(
             garr.shape if hasattr(garr, "shape") else (),
