@@ -49,7 +49,7 @@ def _force(out):
     return np.asarray(flat[:1])
 
 
-def bench_one(app, min_delta_s=0.15, max_n=512):
+def bench_one(app, min_delta_s=0.1, max_n=128):
     """Per-frame time via run-length differencing: time(N runs + readback)
     and time(2N runs + readback); per = (t2N - tN) / N. This cancels the
     tunnel round-trip and dispatch overheads (protocol replaces the
@@ -79,13 +79,29 @@ def bench_one(app, min_delta_s=0.15, max_n=512):
 
 
 def main():
+    import os
     import jax
+    try:
+        # persistent compile cache: repeated bench runs skip recompiles
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/halide_tpu_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
     from halide_tpu.apps import APPS, load_all
     load_all()
     results = {}
     ratios = []
     errors = {}
+    only = os.environ.get("BENCH_APPS")
+    deadline = time.monotonic() + float(
+        os.environ.get("BENCH_BUDGET_S", "520"))
     for name in sorted(APPS):
+        if only and name not in only.split(","):
+            continue
+        if time.monotonic() > deadline:
+            errors[name] = "skipped: bench budget exhausted"
+            continue
         try:
             builder = APPS[name]
             try:

@@ -44,6 +44,10 @@ def _source_bounds(source, bounds):
 
 def _wrap(source, bounds, coord_fn, name):
     bounds = _source_bounds(source, bounds)
+    if isinstance(source, Func) and source.defined():
+        # unbounded trailing dims pass through (reference allows partial
+        # bounds lists)
+        bounds = bounds + [None] * (source.dimensions() - len(bounds))
     n = len(bounds)
     vs = [Var(f"_bc{i}") for i in range(n)]
     f = Func(name)

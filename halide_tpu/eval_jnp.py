@@ -858,15 +858,28 @@ def _reduce_identity(op: str, t: Type):
     raise CompileError(op)
 
 
+_reduce_instance = [0]
+
+
 def _eval_reduce(e: E.Reduce, ctx: Ctx):
     rd = e.rdom
-    # resolve concrete rdom bounds
+    # resolve concrete rdom bounds; axes get instance-unique names and the
+    # rvar names are re-bound, so the same RDom reused across chained
+    # definitions (legal in the reference) cannot collide during nested
+    # inline evaluation
+    _reduce_instance[0] += 1
+    tag = _reduce_instance[0]
     new_axes = []
+    binds = dict(ctx.bindings)
     for i, rv in enumerate(rd.dims):
         mn = _static_int(rv.rmin, ctx)
         ex = _static_int(rv.rextent, ctx)
-        new_axes.append(Axis(rv.name, ctx.ndim + i, mn, ex))
+        fresh = f"{rv.name}#{tag}"
+        new_axes.append(Axis(fresh, ctx.ndim + i, mn, ex))
+        binds[rv.name] = AVal({fresh: 1}, 0)
     inner = ctx.extended(new_axes)
+    inner.bindings = binds
+    inner.memo = {}
     red_np_axes = tuple(inner.ndim - 1 - a.rpos for a in new_axes)
     preds = list(rd.predicates) + ([e.where] if e.where is not None else [])
     if e.op == "sum" and not preds:

@@ -96,3 +96,37 @@ def test_depthwise_separable_conv():
 
 def test_camera_pipe():
     check("camera_pipe", out_width=128, out_height=96)
+
+
+def test_nl_means():
+    check("nl_means", width=48, height=40, patch_size=5, search_area=5)
+
+
+def test_wavelet():
+    check("wavelet", width=64, height=48)
+
+
+def test_resize_cubic_down():
+    check("resize", width=96, height=64, scale_factor=0.5)
+
+
+def test_resize_linear_up():
+    check("resize", width=48, height=32, scale_factor=2.0,
+          interpolation="linear", upsample=True)
+
+
+def test_lens_blur_zero_radius_exact():
+    check("lens_blur", width=48, height=40, slices=8, focus_depth=4,
+          blur_radius_scale=0.0, aperture_samples=4, levels=4)
+
+
+def test_lens_blur_stochastic_structural():
+    app = get("lens_blur")(width=48, height=40, slices=8, focus_depth=4,
+                           blur_radius_scale=0.5, aperture_samples=4,
+                           levels=4)
+    data = app.make_inputs()
+    app.bind(data)
+    out = app.realize().to_numpy()
+    assert out.shape == (3, 40, 48)
+    assert np.isfinite(out).all()
+    assert out.min() >= 0.0 and out.max() <= 255.0
