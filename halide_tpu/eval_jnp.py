@@ -80,22 +80,24 @@ class Axis:
 
 
 class Realized:
-    """A materialized stage: full arrays (np order = reversed dims) + origin."""
+    """A materialized stage: full arrays (np order = reversed dims) + origin.
+    Inside a Pallas kernel, arrays may be Refs and mins may be traced."""
     __slots__ = ("arrays", "mins", "name")
 
     def __init__(self, arrays, mins, name=""):
         self.arrays = tuple(arrays)
-        self.mins = tuple(int(m) for m in mins)
+        self.mins = tuple(int(m) if isinstance(m, (int, np.integer)) else m
+                          for m in mins)
         self.name = name
 
 
 class Ctx:
     __slots__ = ("ndim", "axes", "bindings", "realizations", "params",
-                 "memo", "rng_seed", "trace")
+                 "memo", "rng_seed", "trace", "sym_vals")
 
     def __init__(self, ndim: int, axes: Dict[str, Axis], bindings: dict,
                  realizations: Dict[int, Realized], params: dict,
-                 rng_seed: int = 0, trace=None):
+                 rng_seed: int = 0, trace=None, sym_vals=None):
         self.ndim = ndim
         self.axes = axes
         self.bindings = bindings
@@ -104,10 +106,11 @@ class Ctx:
         self.memo: dict = {}
         self.rng_seed = rng_seed
         self.trace = trace
+        self.sym_vals = sym_vals or {}
 
     def with_bindings(self, bindings: dict) -> "Ctx":
         return Ctx(self.ndim, self.axes, bindings, self.realizations,
-                   self.params, self.rng_seed, self.trace)
+                   self.params, self.rng_seed, self.trace, self.sym_vals)
 
     def extended(self, new_axes: List[Axis]) -> "Ctx":
         axes = dict(self.axes)
@@ -115,7 +118,7 @@ class Ctx:
             axes[a.name] = a
         ndim = max([self.ndim] + [a.rpos + 1 for a in new_axes])
         return Ctx(ndim, axes, self.bindings, self.realizations, self.params,
-                   self.rng_seed, self.trace)
+                   self.rng_seed, self.trace, self.sym_vals)
 
 
 # ---------------------------------------------------------------------------
@@ -128,8 +131,73 @@ def _shape_at(ctx_ndim: int, rpos: int, extent: int) -> Tuple[int, ...]:
     return tuple(s)
 
 
+def _is_static(v) -> bool:
+    return isinstance(v, (int, np.integer))
+
+
+class SymOff:
+    """Symbolic offset `sym + off` where sym is a named traced quantity
+    (a Pallas tile origin). Differences with matching syms are static, which
+    is what lets in-kernel producer reads stay statically sliced."""
+    __slots__ = ("sym", "off")
+
+    def __init__(self, sym: str, off: int = 0):
+        self.sym = sym
+        self.off = int(off)
+
+    def __repr__(self):
+        return f"{self.sym}+{self.off}"
+
+
+def off_add(a, b):
+    """a + b where either may be int or SymOff (not both SymOff)."""
+    if isinstance(a, SymOff) and isinstance(b, SymOff):
+        raise PallasUnsupported("sum of two tile origins")
+    if isinstance(a, SymOff):
+        return SymOff(a.sym, a.off + int(b))
+    if isinstance(b, SymOff):
+        return SymOff(b.sym, b.off + int(a))
+    return int(a) + int(b)
+
+
+def off_sub(a, b):
+    if isinstance(a, SymOff) and isinstance(b, SymOff):
+        if a.sym != b.sym:
+            raise PallasUnsupported("mixed tile origins")
+        return a.off - b.off
+    if isinstance(a, SymOff):
+        return SymOff(a.sym, a.off - int(b))
+    if isinstance(b, SymOff):
+        raise PallasUnsupported("negated tile origin")
+    return int(a) - int(b)
+
+
+def off_mul(a, k: int):
+    if isinstance(a, SymOff):
+        if k == 1:
+            return a
+        raise PallasUnsupported("scaled tile origin")
+    return int(a) * k
+
+
+def off_resolve(v, ctx: "Ctx"):
+    """-> python int or traced scalar."""
+    if isinstance(v, SymOff):
+        base = ctx.sym_vals.get(v.sym)
+        if base is None:
+            raise CompileError(f"unresolved symbolic origin {v.sym}")
+        return base + v.off if v.off else base
+    return v
+
+
 def axis_array(ax: Axis, ctx: Ctx):
-    a = jnp.arange(ax.min, ax.min + ax.extent, dtype=jnp.int32)
+    a = jnp.arange(0, ax.extent, dtype=jnp.int32)
+    mn = off_resolve(ax.min, ctx)
+    if _is_static(mn):
+        if mn:
+            a = a + int(mn)
+    else:
+        a = a + jnp.asarray(mn, jnp.int32)   # traced tile origin
     return a.reshape(_shape_at(ctx.ndim, ax.rpos, ax.extent))
 
 
@@ -318,6 +386,28 @@ def _aval_binary(op, a, b):
     return None
 
 
+def _const_int_divisor(b: Expr):
+    """Positive constant divisor, looking through casts."""
+    while isinstance(b, E.Cast):
+        b = b.value
+    if isinstance(b, E.IntImm) and b.value > 0:
+        return b.value
+    return None
+
+
+def _floor_div_const(am, c: int, t: Type):
+    """Exact floor division of a <=16-bit integer array by a positive
+    constant via f32 reciprocal + fixup — Mosaic has no native integer
+    division, so this form keeps scheduled kernels compilable (the VPU does
+    it in 4 elementwise ops)."""
+    x = am.astype(jnp.int32)
+    q = jnp.floor(x.astype(jnp.float32) * np.float32(1.0 / c)) \
+        .astype(jnp.int32)
+    r = x - q * c
+    q = q + (r >= c).astype(jnp.int32) - (r < 0).astype(jnp.int32)
+    return q.astype(_np_dtype(t))
+
+
 def _eval_binary(e: E.Binary, ctx: Ctx):
     a = evaluate(e.a, ctx)
     b = evaluate(e.b, ctx)
@@ -338,6 +428,9 @@ def _eval_binary(e: E.Binary, ctx: Ctx):
     if op == "div":
         if e.dtype.is_float():
             return am / bm
+        c = _const_int_divisor(e.b)
+        if c is not None and e.dtype.bits <= 16:
+            return _floor_div_const(am, c, e.dtype)
         # reference int semantics: floor division, x/0 == 0
         safe = jnp.where(bm == 0, jnp.ones_like(bm), bm)
         return jnp.where(bm == 0, jnp.zeros_like(am),
@@ -345,6 +438,10 @@ def _eval_binary(e: E.Binary, ctx: Ctx):
     if op == "mod":
         if e.dtype.is_float():
             return am - bm * jnp.floor(am / bm)
+        c = _const_int_divisor(e.b)
+        if c is not None and e.dtype.bits <= 16:
+            q = _floor_div_const(am, c, e.dtype)
+            return (am - q * jnp.asarray(c, am.dtype)).astype(am.dtype)
         safe = jnp.where(bm == 0, jnp.ones_like(bm), bm)
         return jnp.where(bm == 0, jnp.zeros_like(am), jnp.mod(am, safe))
     if op == "min":
@@ -452,6 +549,19 @@ def _affine_read(P, real: Realized, args, ctx: Ctx):
             for _, n in exts[:-1]:
                 if n not in multi_vars:
                     multi_vars.append(n)
+    traced = isinstance(real, RefRealized) or any(
+        not _is_static(m) for m in real.mins)
+    if not traced:
+        for nm in used_vars:
+            if nm is not None and not _is_static(ctx.axes[nm].min):
+                traced = True
+                break
+    if not traced and sliceable:
+        for v in args:
+            av = v.aval if isinstance(v, ClampedAVal) else v
+            if isinstance(av, AVal) and not _is_static(av.const):
+                traced = True
+                break
     if sliceable and multi_vars:
         total = 1
         for n in multi_vars:
@@ -464,6 +574,11 @@ def _affine_read(P, real: Realized, args, ctx: Ctx):
         named = [v for v in used_vars if v is not None]
         if len(set(named)) != len(named):
             sliceable = False    # diagonal access cannot slice
+    if traced:
+        if not sliceable:
+            raise PallasUnsupported(
+                "non-affine access with traced tile origin")
+        return _dyn_slice_read(P, real, args, ctx)
     if sliceable:
         return _slice_read(P, real, args, ctx)
     return _gather_read(P, real, args, ctx)
@@ -624,6 +739,107 @@ def _slice_read(P, real: Realized, args, ctx: Ctx):
     if order != list(range(Q.ndim)):
         Q = jnp.transpose(Q, order)
     return Q.reshape(newshape)
+
+
+class PallasUnsupported(Exception):
+    """Raised while tracing a kernel body when a read form has no in-kernel
+    lowering; the group builder catches it and falls back to XLA."""
+
+
+class RefRealized(Realized):
+    """A stage whose storage is a Pallas Ref (kernel input)."""
+    __slots__ = ()
+
+
+def _place_axes(Q, out_axes, nd, ctx: Ctx):
+    """Map a producer-dim-ordered array onto ctx axis positions."""
+    newshape = [1] * ctx.ndim
+    perm_src, perm_dst = [], []
+    for j in range(nd):
+        ax = out_axes[j] if j < len(out_axes) else None
+        npax = nd - 1 - j
+        if ax is None:
+            continue
+        perm_src.append(npax)
+        perm_dst.append(ctx.ndim - 1 - ax.rpos)
+        newshape[ctx.ndim - 1 - ax.rpos] = Q.shape[npax]
+    order = [s for _, s in sorted(zip(perm_dst, perm_src))]
+    squeeze_axes = tuple(a for a in range(nd) if a not in perm_src)
+    if squeeze_axes:
+        Q = jnp.squeeze(Q, axis=squeeze_axes)
+        remap = {}
+        k = 0
+        for a in range(nd):
+            if a not in squeeze_axes:
+                remap[a] = k
+                k += 1
+        order = [remap[s] for s in order]
+    if order != list(range(Q.ndim)):
+        Q = jnp.transpose(Q, order)
+    return Q.reshape(newshape)
+
+
+def _dyn_slice_read(P, real: Realized, args, ctx: Ctx):
+    """Slice path with symbolic/traced offsets (tile origins inside Pallas
+    kernels). Offsets whose tile origins cancel stay static (static slice on
+    values); residual symbolic offsets resolve to traced scalars (pl.ds on
+    refs). Clamps are unsupported here."""
+    import jax.experimental.pallas as pl
+    is_ref = isinstance(real, RefRealized)
+    shape = tuple(P.shape)
+    nd = len(shape)
+    starts = [0] * nd
+    sizes = list(shape)
+    sub = [slice(None)] * nd
+    flips: List[int] = []
+    out_axes: List[Optional[Axis]] = []
+    for j, v in enumerate(args):
+        if isinstance(v, ClampedAVal):
+            raise PallasUnsupported("clamped access with traced tile origin")
+        npax = nd - 1 - j
+        sv = v.single_var()
+        if sv is None:
+            lo = off_sub(v.const, real.mins[j])
+            ext, stride, ax_out = 1, 1, None
+        else:
+            ax = ctx.axes[sv]
+            stride = v.coeffs[sv]
+            ext = ax.extent
+            if stride > 0:
+                lo = off_sub(off_add(v.const, off_mul(ax.min, stride)),
+                             real.mins[j])
+            else:
+                lo = off_sub(
+                    off_add(v.const,
+                            off_mul(off_add(ax.min, ax.extent - 1), stride)),
+                    real.mins[j])
+                flips.append(npax)
+            ax_out = ax
+        span = (ext - 1) * abs(stride) + 1
+        starts[npax] = lo
+        sizes[npax] = span
+        if abs(stride) > 1:
+            sub[npax] = slice(None, None, abs(stride))
+        out_axes.append(ax_out)
+    all_static = all(_is_static(s) for s in starts)
+    if all_static:
+        if is_ref:
+            Q = P[tuple(pl.ds(int(starts[a]), sizes[a]) for a in range(nd))]
+        else:
+            Q = jax.lax.slice(P, [int(s) for s in starts],
+                              [int(s) + sz for s, sz in zip(starts, sizes)])
+    else:
+        rs = [off_resolve(s, ctx) for s in starts]
+        if is_ref:
+            Q = P[tuple(pl.ds(rs[a], sizes[a]) for a in range(nd))]
+        else:
+            # Pallas TPU cannot dynamic-slice values; only refs
+            raise PallasUnsupported("traced slice of an in-kernel value")
+    if any(s != slice(None) for s in sub):
+        Q = Q[tuple(sub)]
+    if flips:
+        Q = jnp.flip(Q, axis=tuple(flips))
+    return _place_axes(Q, out_axes, nd, ctx)
 
 
 def _gather_read(P, real: Realized, args, ctx: Ctx):

@@ -1,0 +1,473 @@
+"""Pallas lowering of scheduled stencil groups.
+
+This is the TPU realization of the reference's schedule-driven code
+generation (SURVEY.md §7 PR2): a consumer Func with a `tile(x, y, ...)`
+schedule plus producers `compute_at` that consumer becomes ONE Pallas kernel:
+
+- the tile               -> the Pallas grid (+ RoundUp padding, host crop)
+- compute_at producers   -> values computed inside the kernel over their
+                            halo'd footprint (VMEM-resident, registers)
+- external inputs        -> whole-array VMEM refs, read with pl.ds at
+                            traced tile origins (v1 requires them to fit the
+                            VMEM budget; DMA-from-HBM staging is the planned
+                            extension, SURVEY.md §2.5 "async")
+- vectorize marks        -> advisory (arrays are already VPU tiles)
+
+Anything the kernel tracer cannot lower (clamps at traced origins,
+data-dependent gathers) raises PallasUnsupported and the caller falls back
+to the fused-XLA path, mirroring the reference's "schedule is always
+semantics-preserving" contract.
+"""
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import expr as E
+from ..bounds import BoundsEngine, Box, Interval
+from ..eval_jnp import (Axis, Ctx, PallasUnsupported, Realized, RefRealized,
+                        SymOff, eval_array, full_shape)
+from ..func import Func
+from ..schedule import ForType
+from ..visitors import walk
+
+_VMEM_BUDGET = 10 * 1024 * 1024
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def find_tile(f: Func) -> Optional[Tuple[str, int, str, int]]:
+    """Return (xdim_name, tx, ydim_name, ty) from the stage-0 splits, or a
+    1-D (xdim, tx, None, None)."""
+    s = f._defs[0].schedule
+    tiles = []
+    for sp in s.splits:
+        if sp.kind != "split":
+            continue
+        try:
+            factor = int(sp.factor) if not isinstance(sp.factor, E.Expr) \
+                else sp.factor.value
+        except Exception:
+            continue
+        # only splits of original pure dims qualify
+        if any(v.name == sp.old for v in f._defs[0].args):
+            tiles.append((sp.old, factor))
+    if not tiles:
+        return None
+    if len(tiles) == 1:
+        return (tiles[0][0], tiles[0][1], None, 0)
+    (a, ta), (b, tb) = tiles[0], tiles[1]
+    return (a, ta, b, tb)
+
+
+def group_members(f: Func, graph) -> List[Func]:
+    """Funcs scheduled compute_at(f, ...) in dependency order."""
+    out = []
+    for gfn in graph.funcs:
+        lvl = gfn._fschedule.compute_level
+        if lvl.kind == "at" and lvl.func is f:
+            out.append(gfn)
+    return out
+
+
+class _Footprints:
+    """Required boxes of every referenced stage, over a given consumer box."""
+
+    def __init__(self, engine: BoundsEngine):
+        self.engine = engine
+        self.boxes: Dict[int, Box] = {}
+        self.targets: Dict[int, object] = {}
+
+    def visit(self, e, scope, group_ids):
+        if isinstance(e, E.Call):
+            for a in e.args:
+                self.visit(a, scope, group_ids)
+            t = e.target
+            ivs = [self.engine.bounds(a, scope) for a in e.args]
+            if isinstance(t, Func) and id(t) not in group_ids and \
+                    id(t) not in self.targets and _is_inline(t):
+                child = {v.name: iv for v, iv in zip(t.args(), ivs)}
+                self.visit(t._defs[0].values[e.value_index], child,
+                           group_ids)
+                return
+            if isinstance(t, Func) and _is_inline(t) and \
+                    id(t) not in group_ids:
+                child = {v.name: iv for v, iv in zip(t.args(), ivs)}
+                self.visit(t._defs[0].values[e.value_index], child,
+                           group_ids)
+                return
+            box = self.boxes.setdefault(
+                id(t), Box.empty(t.dimensions()
+                                 if hasattr(t, "dimensions") else len(ivs)))
+            self.targets[id(t)] = t
+            for i, iv in enumerate(ivs):
+                if not iv.is_bounded():
+                    raise PallasUnsupported("unbounded footprint")
+                box.union_dim(i, iv)
+            return
+        if isinstance(e, E.Let):
+            self.visit(e.value, scope, group_ids)
+            child = dict(scope)
+            child[e.name] = self.engine.bounds(e.value, scope)
+            self.visit(e.body, child, group_ids)
+            return
+        if isinstance(e, E.Reduce):
+            child = dict(scope)
+            for rv in e.rdom.dims:
+                mn = self.engine.bounds(rv.rmin, scope)
+                ex = self.engine.bounds(rv.rextent, scope)
+                child[rv.name] = Interval(mn.lo, mn.hi + ex.hi - 1)
+            self.visit(e.value, child, group_ids)
+            if e.where is not None:
+                self.visit(e.where, child, group_ids)
+            return
+        for c in e.children():
+            self.visit(c, scope, group_ids)
+
+
+def _is_inline(t) -> bool:
+    if not isinstance(t, Func):
+        return False
+    if len(t._defs) > 1 or len(t._defs[0].values) > 1:
+        return False
+    lvl = t._fschedule.compute_level
+    return not (lvl.is_root() or lvl.kind == "at")
+
+
+def try_pallas_group(f: Func, box: Box, ctx0: Ctx, graph, boxes):
+    """Lower f (+ its compute_at producers) into one pallas_call.
+
+    Returns a Realized or None (fall back to XLA)."""
+    try:
+        import jax.experimental.pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+    except Exception:
+        return None
+    interpret = jax.default_backend() != "tpu"
+    if len(f._defs) != 1 or len(f._defs[0].values) != 1:
+        return None
+    tile = find_tile(f)
+    if tile is None:
+        return None
+    xdim, tx, ydim, ty = tile
+    members = group_members(f, graph)
+    for m in members:
+        if len(m._defs) != 1 or len(m._defs[0].values) != 1:
+            return None
+        mdims = {v.name for v in m._defs[0].args}
+        if xdim not in mdims or (ydim is not None and ydim not in mdims):
+            return None   # v1: members must share the tiled dims by name
+    member_ids = {id(m) for m in members} | {id(f)}
+
+    dims = [v.name for v in f._defs[0].args]
+    if xdim not in dims or (ydim is not None and ydim not in dims):
+        return None
+    xi = dims.index(xdim)
+    yi_ = dims.index(ydim) if ydim else None
+
+    n = f.dimensions()
+    mins = box.mins()
+    extents = box.extents()
+    gx = _cdiv(extents[xi], tx)
+    gy = _cdiv(extents[yi_], ty) if yi_ is not None else 1
+    padded = list(extents)
+    padded[xi] = gx * tx
+    if yi_ is not None:
+        padded[yi_] = gy * ty
+
+    engine = BoundsEngine(resolver=_ctx_resolver(ctx0))
+
+    def run_footprints(scope):
+        """Footprints of every non-member stage + member boxes, given the
+        consumer scope; members processed consumers-first."""
+        fpx = _Footprints(engine)
+        for v in f._defs[0].values:
+            fpx.visit(v, scope, member_ids)
+        for mm in reversed(members):
+            bb = fpx.boxes.get(id(mm))
+            if bb is None or not bb.defined():
+                return None
+            sc = {v.name: bb.dims[i]
+                  for i, v in enumerate(mm._defs[0].args)}
+            for v in mm._defs[0].values:
+                fpx.visit(v, sc, member_ids)
+        return fpx
+
+    # global footprints (whole padded output) -> external input coverage
+    scope_g = {dims[i]: Interval(mins[i], mins[i] + padded[i] - 1)
+               for i in range(n)}
+    # tile-relative footprints -> member staging extents + offsets; shifted
+    # variants classify which ext dims track each tile origin
+    def tile_scope(x_iv, y_iv):
+        sc = dict(scope_g)
+        sc[xdim] = x_iv
+        if ydim is not None:
+            sc[ydim] = y_iv
+        return sc
+
+    t0x = Interval(0, tx - 1)
+    t0y = Interval(0, ty - 1) if ydim is not None else None
+    try:
+        fp_g = run_footprints(scope_g)
+        fp_t = run_footprints(tile_scope(t0x, t0y))
+        fp_sx = run_footprints(tile_scope(Interval(tx, 2 * tx - 1), t0y))
+        fp_sy = run_footprints(
+            tile_scope(t0x, Interval(ty, 2 * ty - 1))) \
+            if ydim is not None else fp_t
+    except PallasUnsupported:
+        return None
+    if any(x is None for x in (fp_g, fp_t, fp_sx, fp_sy)):
+        return None
+
+    # external inputs: classify each dim's tile dependence, compute the
+    # per-tile DMA window (aligned to the dtype's sublane/lane tiling), and
+    # repad the host array so every tile's window is in bounds
+    ext_arrays = []   # (target, cover_mins, wmins, wext_aligned, arr)
+    for tid, t in fp_g.targets.items():
+        if tid in member_ids:
+            continue
+        b2 = fp_g.boxes[tid]
+        bt = fp_t.boxes.get(tid)
+        bsx = fp_sx.boxes.get(tid)
+        bsy = fp_sy.boxes.get(tid)
+        if not b2.bounded() or bt is None or not bt.bounded():
+            return None
+        real = ctx0.realizations.get(tid)
+        if real is None:
+            return None
+        arr = real.arrays[0]
+        nd_t = len(arr.shape)
+        itemsize = arr.dtype.itemsize
+        sublane_mult = {4: 8, 2: 16, 1: 32}.get(itemsize, 8)
+        wmins = []
+        wext = []
+        for j in range(nd_t):
+            dx_shift = bsx.dims[j].lo - bt.dims[j].lo if bsx else 0
+            dy_shift = (bsy.dims[j].lo - bt.dims[j].lo) \
+                if (bsy is not None and ydim is not None) else 0
+            if dx_shift == tx and dy_shift == 0:
+                wmins.append(SymOff("tile_x0", int(bt.dims[j].lo)))
+                wext.append(int(bt.dims[j].extent()))
+            elif dx_shift == 0 and ydim is not None and dy_shift == ty:
+                wmins.append(SymOff("tile_y0", int(bt.dims[j].lo)))
+                wext.append(int(bt.dims[j].extent()))
+            elif dx_shift == 0 and dy_shift == 0:
+                wmins.append(int(b2.dims[j].lo))
+                wext.append(int(b2.dims[j].extent()))
+            else:
+                return None   # mixed/partial tile dependence
+        # align window extents to the memref tiling (last dim: lane 128;
+        # second-to-last: sublane, dtype-dependent)
+        wal = list(wext)
+        if nd_t >= 1:
+            wal[0] = _cdiv(wal[0], 128) * 128
+        if nd_t >= 2:
+            wal[1] = _cdiv(wal[1], sublane_mult) * sublane_mult
+        # coverage box over all tiles
+        cover_lo, cover_hi = [], []
+        for j in range(nd_t):
+            wm = wmins[j]
+            if isinstance(wm, SymOff):
+                if wm.sym == "tile_x0":
+                    base_lo = mins[xi]
+                    base_hi = mins[xi] + (gx - 1) * tx
+                else:
+                    base_lo = mins[yi_]
+                    base_hi = mins[yi_] + (gy - 1) * ty
+                cover_lo.append(base_lo + wm.off)
+                cover_hi.append(base_hi + wm.off + wal[j] - 1)
+            else:
+                cover_lo.append(wm)
+                cover_hi.append(wm + wal[j] - 1)
+        pads = [(0, 0)] * nd_t
+        idx = [slice(None)] * nd_t
+        for i in range(nd_t):
+            j = nd_t - 1 - i
+            lo = cover_lo[j] - real.mins[j]
+            hi = cover_hi[j] - real.mins[j]
+            size = arr.shape[i]
+            pads[i] = (max(0, -int(lo)), max(0, int(hi) - (size - 1)))
+            idx[i] = slice(max(0, int(lo)), min(size, int(hi) + 1))
+        sub = arr[tuple(idx)]
+        if any(p2 != (0, 0) for p2 in pads):
+            sub = jnp.pad(sub, pads, mode="edge")
+        ext_arrays.append((t, tuple(cover_lo), wmins, tuple(wal), sub))
+
+    out_dtype = f._defs[0].values[0].dtype.to_np()
+    tile_elems = tx * (ty if yi_ is not None else 1)
+    for i in range(n):
+        if i not in (xi, yi_):
+            tile_elems *= padded[i]
+    member_bytes = 0
+    for m in members:
+        bb = fp_t.boxes.get(id(m))
+        if bb is None or not bb.defined() or not bb.bounded():
+            return None
+        sz = 1
+        for e2 in bb.extents():
+            sz *= e2
+        member_bytes += sz * np.dtype(
+            m._defs[0].values[0].dtype.to_np()).itemsize
+    window_bytes = 0
+    for (_t, _g, _wm, wext, a2) in ext_arrays:
+        sz = 1
+        for e2 in wext:
+            sz *= e2
+        window_bytes += sz * a2.dtype.itemsize
+    total = (tile_elems * np.dtype(out_dtype).itemsize * 2
+             + member_bytes * 2 + window_bytes * 2)
+    if total > _VMEM_BUDGET:
+        return None
+
+    grid = (gy, gx) if yi_ is not None else (gx,)
+    out_shape_np = tuple(reversed(padded))
+    blk = list(out_shape_np)
+    np_x = n - 1 - xi
+    blk[np_x] = tx
+    if yi_ is not None:
+        blk[n - 1 - yi_] = ty
+
+    def out_index(*pids):
+        idx2 = [0] * n
+        if yi_ is not None:
+            iy, ix = pids
+            idx2[np_x] = ix
+            idx2[n - 1 - yi_] = iy
+        else:
+            idx2[np_x] = pids[0]
+        return tuple(idx2)
+
+    def kernel(*refs):
+        in_refs = refs[:len(ext_arrays)]
+        out_ref = refs[len(ext_arrays)]
+        if yi_ is not None:
+            iy = pl.program_id(0)
+            ix = pl.program_id(1)
+        else:
+            ix = pl.program_id(0)
+            iy = 0
+        x0 = jnp.asarray(mins[xi] + ix * tx, jnp.int32)
+        y0 = jnp.asarray(mins[yi_] + iy * ty, jnp.int32) \
+            if yi_ is not None else None
+        sym_vals = {"tile_x0": x0}
+        if yi_ is not None:
+            sym_vals["tile_y0"] = y0
+
+        scratch_shapes = [
+            pltpu.VMEM(tuple(reversed(wext)), a2.dtype)
+            for (_t, _g, _wm, wext, a2) in ext_arrays]
+        scratch_shapes.append(
+            pltpu.SemaphoreType.DMA((max(1, len(ext_arrays)),)))
+
+        def body(*scr):
+            sems = scr[-1]
+            scratches = scr[:-1]
+            realz: Dict[int, Realized] = {}
+            dmas = []
+            # stage each external input's tile window: HBM -> VMEM DMA
+            for k, ((t, gmins, wmins, wext, _a), ref, scratch) in enumerate(
+                    zip(ext_arrays, in_refs, scratches)):
+                nd_t = len(wext)
+                sl = []
+                for i in range(nd_t):
+                    j = nd_t - 1 - i
+                    wm = wmins[j]
+                    if isinstance(wm, SymOff):
+                        base = sym_vals[wm.sym] + (wm.off - gmins[j])
+                        base = jnp.asarray(base, jnp.int32)
+                    else:
+                        base = jnp.int32(wm - gmins[j])
+                    sl.append(pl.ds(base, wext[j]))
+                dma = pltpu.make_async_copy(
+                    ref.at[tuple(sl)], scratch, sems.at[jnp.int32(k)])
+                dma.start()
+                dmas.append(dma)
+                realz[id(t)] = Realized((scratch,), tuple(wmins),
+                                        getattr(t, "name", "in"))
+            for dma in dmas:
+                dma.wait()
+            # staged windows read as whole VMEM values
+            for k, ((t, gmins, wmins, wext, _a), scratch) in enumerate(
+                    zip(ext_arrays, scratches)):
+                realz[id(t)] = Realized((scratch[...],), tuple(wmins),
+                                        getattr(t, "name", "in"))
+
+            def make_ctx(fn, fmins, fext):
+                axes = {}
+                for i, v in enumerate(fn._defs[0].args):
+                    axes[v.name] = Axis(v.name, i, fmins[i], fext[i])
+                return Ctx(fn.dimensions(), axes, {}, realz, ctx0.params,
+                           sym_vals=sym_vals)
+
+            for m in members:
+                bb = fp_t.boxes[id(m)]
+                rel_mins = bb.mins()
+                rel_ext = bb.extents()
+                mdims = [v.name for v in m._defs[0].args]
+                abs_mins = list(rel_mins)
+                for i2, dn in enumerate(mdims):
+                    if dn == xdim:
+                        abs_mins[i2] = SymOff("tile_x0", rel_mins[i2])
+                    elif ydim is not None and dn == ydim:
+                        abs_mins[i2] = SymOff("tile_y0", rel_mins[i2])
+                cctx = make_ctx(m, abs_mins, rel_ext)
+                val = eval_array(m._defs[0].values[0], cctx)
+                val = jnp.broadcast_to(
+                    val, full_shape(cctx, list(cctx.axes.values())))
+                val = val.astype(m._defs[0].values[0].dtype.to_np())
+                realz[id(m)] = Realized((val,), tuple(abs_mins), m.name)
+
+            f_mins = list(mins)
+            f_mins[xi] = SymOff("tile_x0", 0)
+            if yi_ is not None:
+                f_mins[yi_] = SymOff("tile_y0", 0)
+            f_ext = list(padded)
+            f_ext[xi] = tx
+            if yi_ is not None:
+                f_ext[yi_] = ty
+            cctx = make_ctx(f, f_mins, f_ext)
+            val = eval_array(f._defs[0].values[0], cctx)
+            val = jnp.broadcast_to(
+                val, full_shape(cctx, list(cctx.axes.values())))
+            out_ref[...] = val.astype(out_dtype)
+
+        pl.run_scoped(body, *scratch_shapes)
+
+    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY) for _ in ext_arrays]
+    out_spec = pl.BlockSpec(tuple(blk), out_index, memory_space=pltpu.VMEM)
+    try:
+        call = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct(out_shape_np, out_dtype),
+            interpret=interpret,
+        )
+        result = call(*[a for (_, _, _, _, a) in ext_arrays])
+    except PallasUnsupported:
+        return None
+    except Exception:
+        return None
+    idx = tuple(slice(0, extents[i]) for i in reversed(range(n)))
+    return Realized((result[idx],), mins, f.name)
+
+
+def _ctx_resolver(ctx0: Ctx):
+    def resolver(name, args):
+        if name == "param":
+            return ctx0.params.get(id(args[0]))
+        obj, i = args[0], args[1]
+        real = ctx0.realizations.get(id(obj))
+        if real is None:
+            return None
+        if name == "buffer_min":
+            return real.mins[i]
+        return real.arrays[0].shape[len(real.arrays[0].shape) - 1 - i]
+    return resolver

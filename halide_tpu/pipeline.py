@@ -443,17 +443,47 @@ class Pipeline:
                             f"dim {i} over {iv}, but its bounds are "
                             f"[{lo}, {hi}]; add a boundary condition "
                             "(e.g. repeat_edge) or clamp")
-            # evaluate producers-first
+            # evaluate producers-first; funcs scheduled compute_at an anchor
+            # are deferred so the anchor can lower the whole group to one
+            # Pallas kernel (ops/pallas_group.py); on fallback they are
+            # evaluated standalone (same values — schedules are
+            # semantics-preserving)
+            from .ops.pallas_group import find_tile, try_pallas_group
             ctx0 = Ctx(0, {}, {}, realizations,
                        {k: v for k, v in param_vals.items()},
                        trace=self.trace)
+            deferred: Dict[int, List[Func]] = {}
+
+            def eval_standalone(fn):
+                b = bp.boxes.get(id(fn))
+                if b is None or not b.defined():
+                    return
+                realizations[id(fn)] = _evaluate_func(fn, b, ctx0)
+
             for f in g.funcs:
                 if id(f) not in g.materialized:
                     continue
                 box = bp.boxes.get(id(f))
                 if box is None or not box.defined():
                     continue
-                realizations[id(f)] = _evaluate_func(f, box, ctx0)
+                lvl = f._fschedule.compute_level
+                if lvl.kind == "at" and id(lvl.func) in g.materialized:
+                    deferred.setdefault(id(lvl.func), []).append(f)
+                    continue
+                members = deferred.pop(id(f), [])
+                real = None
+                if find_tile(f) is not None:
+                    real = try_pallas_group(f, box, ctx0, g, bp.boxes)
+                if real is not None:
+                    realizations[id(f)] = real
+                else:
+                    for m in members:
+                        eval_standalone(m)
+                    eval_standalone(f)
+            # any remaining deferred members (anchor unprocessed) run alone
+            for ms in deferred.values():
+                for m in ms:
+                    eval_standalone(m)
             outs = []
             for f in self.outputs:
                 real = realizations[id(f)]
