@@ -55,16 +55,16 @@ def bench_one(app, min_delta_s=0.1, max_n=128):
     tunnel round-trip and dispatch overheads (protocol replaces the
     reference's min-time loop, tools/halide_benchmark.h)."""
     import jax
-    fn, input_arrays, _ = app.pipeline._prepare(app.output_sizes)
+    fn, input_arrays, _r, presets = app.pipeline._prepare(app.output_sizes)
     args = tuple(jax.device_put(a) for a in input_arrays)
-    out = fn(args)
+    out = fn(args, presets)
     _force(out)
 
     def run_n(n):
         t0 = time.perf_counter()
         o = None
         for _ in range(n):
-            o = fn(args)
+            o = fn(args, presets)
         _force(o)
         return time.perf_counter() - t0
 

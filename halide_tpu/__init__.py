@@ -56,3 +56,6 @@ __all__ = [
     "repeat_edge", "constant_exterior", "repeat_image", "mirror_image",
     "mirror_interior", "BoundaryConditions",
 ] + list(_irop_all)
+
+from .serialize import serialize_pipeline, deserialize_pipeline  # noqa: E402
+__all__ += ["serialize_pipeline", "deserialize_pipeline"]

@@ -865,6 +865,256 @@ _EINSUM_MIN_FULL = 1 << 22
 _LETTERS = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
 
 
+def _peel_call(e: Expr):
+    """Call, looking through casts; returns (call, needs_cast_to)."""
+    t = None
+    while isinstance(e, E.Cast):
+        t = e.dtype
+        e = e.value
+    if isinstance(e, E.Call):
+        return e, t
+    return None, None
+
+
+def try_conv_reduce(e: Expr, ctx: Ctx, red_axes_names):
+    """sum over rdom of W(...)*X(...) where X has strided+shifted spatial
+    dims -> jax.lax.conv_general_dilated (the native MXU convolution).
+    This is the path conv_layer/resnet take; ~100x over materialized im2col.
+
+    Returns a reduced array shaped like the ctx grid with the rdom axes
+    absent/size-1, or None."""
+    factors = []
+
+    def peel(x):
+        if isinstance(x, E.Binary) and x.op == "mul":
+            peel(x.a)
+            peel(x.b)
+        else:
+            factors.append(x)
+
+    peel(e)
+    if len(factors) != 2:
+        return None
+    if not e.dtype.is_float() or e.dtype.bits > 32:
+        return None
+    red_set = set(red_axes_names)
+    infos = []
+    for fct in factors:
+        call, _ = _peel_call(fct)
+        if call is None:
+            return None
+        real = ctx.realizations.get(id(call.target))
+        if real is None or isinstance(real, RefRealized):
+            return None
+        dims = []
+        for a in call.args:
+            v = evaluate(a, ctx)
+            if not isinstance(v, AVal):
+                return None
+            vars_ = list(v.coeffs)
+            dims.append((v, vars_))
+        infos.append((call, real, dims))
+
+    # decide which factor is the data (has a spatial dim: pure var + rvar)
+    def spatialness(info):
+        _, _, dims = info
+        cnt = 0
+        for v, vars_ in dims:
+            ps = [n for n in vars_ if n not in red_set]
+            rs = [n for n in vars_ if n in red_set]
+            if len(ps) == 1 and len(rs) == 1:
+                cnt += 1
+        return cnt
+
+    infos.sort(key=spatialness)
+    w_info, x_info = infos
+    if spatialness(x_info) == 0 or spatialness(w_info) != 0:
+        return None
+
+    xcall, xreal, xdims = x_info
+    wcall, wreal, wdims = wdims_info = w_info[0], w_info[1], w_info[2]
+
+    spatial = []        # (x_dim_idx, pure_var, stride, rvar, const)
+    x_feature = None    # (dim idx, rvar)
+    x_batch = []        # (dim idx, pure var)
+    x_const = []        # (dim idx, const)
+    for j, (v, vars_) in enumerate(xdims):
+        ps = [n for n in vars_ if n not in red_set]
+        rs = [n for n in vars_ if n in red_set]
+        if len(ps) == 1 and len(rs) == 1:
+            s = v.coeffs[ps[0]]
+            if v.coeffs[rs[0]] != 1 or s < 1:
+                return None
+            spatial.append((j, ps[0], s, rs[0], v.const))
+        elif len(ps) == 1 and not rs:
+            if v.coeffs[ps[0]] != 1:
+                return None
+            x_batch.append((j, ps[0]))
+        elif len(rs) == 1 and not ps:
+            if v.coeffs[rs[0]] != 1 or x_feature is not None:
+                return None
+            x_feature = (j, rs[0], v.const)
+        elif not ps and not rs:
+            x_const.append((j, v.const))
+        else:
+            return None
+    if x_feature is None or not spatial or len(spatial) > 3:
+        return None
+    spatial_rvars = {s[3] for s in spatial}
+    if x_feature[1] in spatial_rvars:
+        return None
+
+    w_out = None        # (dim idx, pure var)
+    w_feature = None
+    w_spatial = {}      # rvar -> (dim idx, const)
+    w_const = []
+    for j, (v, vars_) in enumerate(wdims_info[2]):
+        ps = [n for n in vars_ if n not in red_set]
+        rs = [n for n in vars_ if n in red_set]
+        if len(ps) == 1 and not rs:
+            if w_out is not None or v.coeffs[ps[0]] != 1:
+                return None
+            w_out = (j, ps[0])
+        elif len(rs) == 1 and not ps:
+            rv = rs[0]
+            if v.coeffs[rv] != 1:
+                return None
+            if rv == x_feature[1]:
+                if w_feature is not None:
+                    return None
+                w_feature = (j, v.const)
+            elif rv in spatial_rvars:
+                w_spatial[rv] = (j, v.const)
+            else:
+                return None
+        elif not ps and not rs:
+            w_const.append((j, v.const))
+        else:
+            return None
+    if w_out is None or w_feature is None:
+        return None
+    if set(w_spatial) != spatial_rvars:
+        return None
+    # every rdom axis must be consumed (feature or spatial)
+    if red_set - spatial_rvars - {x_feature[1]}:
+        return None
+
+    # slice lhs (X): per dim compute start / length in array coords
+    X = xreal.arrays[xcall.value_index]
+    ndx = X.ndim
+    starts = [0] * ndx
+    sizes = list(X.shape)
+    for (j, pv, s, rv, c0) in spatial:
+        ax = ctx.axes[pv]
+        rax = ctx.axes[rv]
+        lo = c0 + s * ax.min + rax.min - xreal.mins[j]
+        ln = s * (ax.extent - 1) + rax.extent
+        if lo < 0 or lo + ln > X.shape[ndx - 1 - j]:
+            return None
+        starts[ndx - 1 - j] = int(lo)
+        sizes[ndx - 1 - j] = int(ln)
+    j, rv, c0 = x_feature
+    rax = ctx.axes[rv]
+    lo = c0 + rax.min - xreal.mins[j]
+    if lo < 0 or lo + rax.extent > X.shape[ndx - 1 - j]:
+        return None
+    starts[ndx - 1 - j] = int(lo)
+    sizes[ndx - 1 - j] = rax.extent
+    for (j, pv) in x_batch:
+        ax = ctx.axes[pv]
+        lo = ax.min - xreal.mins[j]
+        if not _is_static(lo) or lo < 0:
+            return None
+        starts[ndx - 1 - j] = int(lo)
+        sizes[ndx - 1 - j] = ax.extent
+    for (j, c0) in x_const:
+        lo = c0 - xreal.mins[j]
+        starts[ndx - 1 - j] = int(lo)
+        sizes[ndx - 1 - j] = 1
+    lhs = jax.lax.slice(X, starts, [a + b for a, b in zip(starts, sizes)])
+    if x_const:
+        lhs = jnp.squeeze(lhs, axis=tuple(ndx - 1 - j for j, _ in x_const))
+
+    # collapse multiple batch dims into one
+    # build lhs axis order: [batch..., spatial..., feature]
+    keep = [j for j, _ in x_batch] + [s[0] for s in spatial] + [x_feature[0]]
+    # np positions after the const squeeze
+    def np_pos(j):
+        p = ndx - 1 - j
+        return p - sum(1 for jc, _ in x_const if ndx - 1 - jc < p)
+    perm = [np_pos(j) for j in keep]
+    lhs = jnp.transpose(lhs, perm)
+    nb = len(x_batch)
+    bshape = lhs.shape[:nb]
+    lhs = lhs.reshape((-1,) + lhs.shape[nb:]) if nb != 1 else lhs
+    if nb == 0:
+        lhs = lhs[None]
+
+    # rhs (W): arrange to [spatial..., in_feature, out_feature]
+    Wt = wreal.arrays[wcall.value_index]
+    ndw = Wt.ndim
+    wstarts = [0] * ndw
+    wsizes = list(Wt.shape)
+    for rv, (j, c0) in w_spatial.items():
+        rax = ctx.axes[rv]
+        lo = c0 + rax.min - wreal.mins[j]
+        if lo < 0 or lo + rax.extent > Wt.shape[ndw - 1 - j]:
+            return None
+        wstarts[ndw - 1 - j] = int(lo)
+        wsizes[ndw - 1 - j] = rax.extent
+    j, c0 = w_feature
+    rax = ctx.axes[x_feature[1]]
+    lo = c0 + rax.min - wreal.mins[j]
+    if lo < 0 or lo + rax.extent > Wt.shape[ndw - 1 - j]:
+        return None
+    wstarts[ndw - 1 - j] = int(lo)
+    wsizes[ndw - 1 - j] = rax.extent
+    jo, co_var = w_out
+    axo = ctx.axes[co_var]
+    lo = axo.min - wreal.mins[jo]
+    if lo < 0:
+        return None
+    wstarts[ndw - 1 - jo] = int(lo)
+    wsizes[ndw - 1 - jo] = axo.extent
+    rhs = jax.lax.slice(Wt, wstarts,
+                        [a + b for a, b in zip(wstarts, wsizes)])
+    if w_const:
+        rhs = jnp.squeeze(rhs, axis=tuple(ndw - 1 - j for j, _ in w_const))
+
+    def wnp_pos(j):
+        p = ndw - 1 - j
+        return p - sum(1 for jc, _ in w_const if ndw - 1 - jc < p)
+    worder = [wnp_pos(w_spatial[s[3]][0]) for s in spatial] \
+        + [wnp_pos(w_feature[0])] + [wnp_pos(jo)]
+    rhs = jnp.transpose(rhs, worder)
+
+    nsp = len(spatial)
+    # dimension numbers: lhs [N, S..., C], rhs [S..., I, O], out [N, S..., O]
+    dn = jax.lax.ConvDimensionNumbers(
+        lhs_spec=(0, nsp + 1) + tuple(range(1, nsp + 1)),
+        rhs_spec=(nsp + 1, nsp) + tuple(range(nsp)),
+        out_spec=(0, nsp + 1) + tuple(range(1, nsp + 1)),
+    )
+    out = jax.lax.conv_general_dilated(
+        lhs.astype(jnp.float32), rhs.astype(jnp.float32),
+        window_strides=tuple(s[2] for s in spatial),
+        padding="VALID", dimension_numbers=dn,
+        preferred_element_type=jnp.float32)
+    # out: [N, S..., O] -> place into ctx
+    if nb != 1:
+        out = out.reshape(tuple(bshape) + out.shape[1:])
+    out_axes_order = [pv for _, pv in x_batch] \
+        + [s[1] for s in spatial] + [co_var]
+    shape = [1] * ctx.ndim
+    # out currently [batch dims..., spatial..., O]
+    perm_dst = [ctx.ndim - 1 - ctx.axes[nm].rpos for nm in out_axes_order]
+    order = [i for _, i in sorted(zip(perm_dst, range(len(perm_dst))))]
+    out = jnp.transpose(out, order)
+    for nm in out_axes_order:
+        shape[ctx.ndim - 1 - ctx.axes[nm].rpos] = ctx.axes[nm].extent
+    return out.reshape(shape).astype(_np_dtype(e.dtype))
+
+
 def try_einsum_reduce(e: Expr, ctx: Ctx, red_np_axes):
     """sum over rdom of a product of factors -> jnp.einsum (dot_general on
     the MXU) instead of materializing the outer-product grid. This is the
@@ -1099,8 +1349,15 @@ def _eval_reduce(e: E.Reduce, ctx: Ctx):
     red_np_axes = tuple(inner.ndim - 1 - a.rpos for a in new_axes)
     preds = list(rd.predicates) + ([e.where] if e.where is not None else [])
     if e.op == "sum" and not preds:
-        # contraction fast path: product-of-factors sums become einsums
-        r = try_einsum_reduce(e.value, inner, red_np_axes)
+        # contraction fast paths: convolution -> conv_general_dilated;
+        # generic product-of-factors -> einsum
+        try:
+            r = try_conv_reduce(e.value, inner,
+                                [a.name for a in new_axes])
+        except (CompileError, PallasUnsupported):
+            r = None
+        if r is None:
+            r = try_einsum_reduce(e.value, inner, red_np_axes)
         if r is not None:
             return r.reshape(_fit_ctx_shape(r.shape, ctx.ndim))
     val = eval_array(e.value, inner)

@@ -385,28 +385,139 @@ class Pipeline:
                      for b in regions.values()),
                tuple((a.shape, str(a.dtype)) for a in input_arrays),
                tuple((buf._mins) for (_, buf) in input_objs),
-               param_vals)
+               param_vals,
+               id(self.trace) if self.trace is not None else 0,
+               tuple((f._fschedule.trace_stores,
+                      f._fschedule.trace_realizations)
+                     for f in g.funcs))
+        # memoized stages precompute outside jit through the host LRU cache
+        # (reference: src/Memoization.cpp + runtime/cache.cpp)
+        self._last_regions = regions
+        presets = self._memo_precompute(g, input_objs, dict(param_vals))
+        preset_meta = tuple(
+            (fid, mins, tuple((a.shape, str(a.dtype)) for a in arrs))
+            for fid, (mins, arrs) in presets.items())
+        key = key + (preset_meta,)
+        preset_args = tuple(a for (_m, arrs) in presets.values()
+                            for a in arrs)
         fn = self._jit_cache.get(key)
         if fn is None:
-            fn = self._build_fn(g, regions, input_objs,
-                                dict(param_vals))
+            fn = self._build_fn(g, regions, input_objs, dict(param_vals),
+                                presets)
             if jit:
                 fn = jax.jit(fn)
             self._jit_cache[key] = fn
-        return fn, input_arrays, regions
+        return fn, input_arrays, regions, preset_args
+
+    def _memo_precompute(self, g: _Graph, input_objs, param_vals):
+        memo_funcs = [f for f in g.funcs
+                      if id(f) in g.materialized
+                      and f._fschedule.memoized
+                      and f not in self.outputs]
+        if not memo_funcs:
+            return {}
+        # host-side bounds pass to size the memoized stages
+        lookup = {id(t): buf for (t, buf) in input_objs}
+
+        def resolver(name, args):
+            if name == "param":
+                return param_vals.get(id(args[0]))
+            obj, i = args[0], args[1]
+            buf = lookup.get(id(obj))
+            if buf is None:
+                return None
+            return buf.dim(i).min if name == "buffer_min" \
+                else buf.dim(i).extent
+        engine = BoundsEngine(resolver=resolver)
+        bp = _BoundsPass(g, engine)
+        return self._memo_boxes_and_values(g, bp, param_vals, lookup,
+                                           memo_funcs)
+
+    def _memo_boxes_and_values(self, g, bp, param_vals, lookup, memo_funcs):
+        # boxes come from the most recent realize regions; compute them on
+        # demand using the last-requested regions stored by _prepare
+        regions = getattr(self, "_last_regions", None)
+        if regions is None:
+            return {}
+        out_regions = {k: Box(list(v.dims)) for k, v in regions.items()}
+        bp.run(self.outputs, out_regions)
+        import hashlib
+        from .buffer import Buffer as _Buffer
+        from .runtime import memo_cache
+        cache = memo_cache()
+        presets = {}
+        for f in memo_funcs:
+            box = bp.boxes.get(id(f))
+            if box is None or not box.bounded():
+                continue
+            sub = Pipeline(f)
+            sub_g = gather_graph([f])
+            h = hashlib.sha1()
+            h.update(repr(self._signature(sub_g)).encode())
+            h.update(repr((box.mins(), box.extents())).encode())
+            h.update(repr(sorted(
+                (p.name, repr(v)) for p, v in
+                [(pp, param_vals.get(id(pp))) for pp in
+                 sub_g.params.values()])).encode())
+            for t in sub_g.inputs.values():
+                buf = lookup.get(id(t))
+                if buf is None:
+                    continue
+                arr = np.asarray(buf.data)
+                h.update(str(arr.shape).encode())
+                h.update(str(arr.dtype).encode())
+                if arr.nbytes <= (8 << 20):
+                    h.update(arr.tobytes())
+                else:
+                    h.update(str(id(buf)).encode())
+            key = h.digest()
+            types = f.output_types()
+            hit = cache.lookup(key)
+            if hit is not None:
+                arrs = []
+                off = 0
+                for t in types:
+                    nbytes = int(np.prod(box.extents())) * t.to_np().itemsize
+                    a = np.frombuffer(hit[off:off + nbytes],
+                                      dtype=t.to_np()).reshape(
+                        tuple(reversed(box.extents())))
+                    arrs.append(jnp.asarray(a))
+                    off += nbytes
+                presets[id(f)] = (box.mins(), arrs)
+                continue
+            dsts = [
+                _Buffer(type=t, sizes=box.extents(), mins=box.mins())
+                for t in types]
+            sub.realize(dst=dsts if len(dsts) > 1 else dsts[0])
+            arrs = [d.data for d in dsts]
+            blob = b"".join(np.asarray(a).tobytes() for a in arrs)
+            cache.store(key, blob)
+            presets[id(f)] = (box.mins(), [jnp.asarray(a) for a in arrs])
+        return presets
 
     def realize(self, sizes=None, target=None, dst=None, jit: bool = True,
                 device=None):
-        fn, input_arrays, regions = self._prepare(sizes, dst, jit)
-        arrays = fn(tuple(input_arrays))
+        fn, input_arrays, regions, preset_args = self._prepare(
+            sizes, dst, jit)
+        arrays = fn(tuple(input_arrays), preset_args)
         return self._package(arrays, regions, sizes, dst)
 
-    def _build_fn(self, g: _Graph, regions, input_objs, param_vals):
-        def run(inp_arrays):
+    def _build_fn(self, g: _Graph, regions, input_objs, param_vals,
+                  presets=None):
+        presets = presets or {}
+        preset_shapes = [(fid, mins, len(arrs))
+                         for fid, (mins, arrs) in presets.items()]
+
+        def run(inp_arrays, preset_arrays=()):
             realizations: Dict[int, Realized] = {}
             for (t, buf), arr in zip(input_objs, inp_arrays):
                 realizations[id(t)] = Realized(
                     (arr,), buf._mins, getattr(t, "name", "buf"))
+            off = 0
+            for fid, mins_p, narr in preset_shapes:
+                realizations[fid] = Realized(
+                    tuple(preset_arrays[off:off + narr]), mins_p, "memo")
+                off += narr
 
             def resolver(name, args):
                 if name == "param":
@@ -455,10 +566,19 @@ class Pipeline:
             deferred: Dict[int, List[Func]] = {}
 
             def eval_standalone(fn):
+                if id(fn) in realizations and any(
+                        id(fn) == fid for fid, _m, _n in preset_shapes):
+                    return   # memoized: precomputed on the host
                 b = bp.boxes.get(id(fn))
                 if b is None or not b.defined():
                     return
                 realizations[id(fn)] = _evaluate_func(fn, b, ctx0)
+                fs = fn._fschedule
+                if self.trace is not None and (
+                        fs.trace_stores or fs.trace_realizations
+                        or fs.trace_loads):
+                    self.trace.record_realization(
+                        fn, b, realizations[id(fn)].arrays)
 
             for f in g.funcs:
                 if id(f) not in g.materialized:
@@ -596,6 +716,77 @@ class Pipeline:
                          mins=box.mins(), name=t.name)
             t.set(buf)
         return [t.get() for t in unbound]
+
+    def profile(self, sizes=None, dst=None):
+        """Per-stage time/memory report, executed stage-at-a-time
+        (reference: src/Profiling.cpp + runtime/profiler_common.cpp;
+        HL_PROFILER_JSON_OUTPUT-style dict + formatted __str__). Stages are
+        deliberately unfused here so each is attributable — use realize()
+        for production performance."""
+        import time as _time
+
+        g = gather_graph(self.outputs)
+        regions = self._out_regions(sizes, dst)
+        input_objs = []
+        for t in g.inputs.values():
+            buf = t.get() if isinstance(t, ImageParam) else t
+            input_objs.append((t, buf))
+        param_vals = {id(p): p.get() for p in g.params.values()}
+        realizations: Dict[int, Realized] = {}
+        for (t, buf) in input_objs:
+            realizations[id(t)] = Realized((buf.data,), buf._mins,
+                                           getattr(t, "name", "buf"))
+
+        def resolver(name, args):
+            if name == "param":
+                return param_vals.get(id(args[0]))
+            obj, i = args[0], args[1]
+            real = realizations.get(id(obj))
+            if real is None:
+                return None
+            if name == "buffer_min":
+                return real.mins[i]
+            return real.arrays[0].shape[real.arrays[0].ndim - 1 - i]
+
+        engine = BoundsEngine(resolver=resolver)
+        bp = _BoundsPass(g, engine)
+        bp.run(self.outputs, {k: Box(list(v.dims))
+                              for k, v in regions.items()})
+        ctx0 = Ctx(0, {}, {}, realizations, param_vals)
+        entries = []
+        total = 0.0
+        for f in g.funcs:
+            if id(f) not in g.materialized:
+                continue
+            box = bp.boxes.get(id(f))
+            if box is None or not box.defined():
+                continue
+            t0 = _time.perf_counter()
+            real = _evaluate_func(f, box, ctx0)
+            jax.block_until_ready(real.arrays)
+            np.asarray(jax.tree_util.tree_leaves(real.arrays)[0]
+                       .reshape(-1)[:1])
+            dt = _time.perf_counter() - t0
+            realizations[id(f)] = real
+            nbytes = sum(a.size * a.dtype.itemsize for a in real.arrays)
+            if not f._fschedule.no_profiling:
+                entries.append({"name": f.name, "ms": dt * 1e3,
+                                "bytes": nbytes,
+                                "box": list(zip(box.mins(), box.extents()))})
+            total += dt
+
+        class ProfileReport(dict):
+            def __str__(self):
+                lines = [f"total (stage-at-a-time): "
+                         f"{self['total_ms']:.3f} ms"]
+                for e2 in sorted(self["funcs"], key=lambda d: -d["ms"]):
+                    pct = 100 * e2["ms"] / max(self["total_ms"], 1e-9)
+                    lines.append(
+                        f"  {e2['name']:28s} {e2['ms']:9.3f}ms "
+                        f"({pct:5.1f}%)  {e2['bytes'] / 1e6:8.2f} MB")
+                return "\n".join(lines)
+
+        return ProfileReport(total_ms=total * 1e3, funcs=entries)
 
     def apply_autoscheduler(self, target=None, params=None):
         from .autoschedule import apply_autoscheduler

@@ -253,9 +253,16 @@ def _try_dense_combine(func, d, current, base_ctx: Ctx, rdom_axes):
             out.append(jnp.broadcast_to(arr, shape).astype(current[i].dtype))
             continue
         if op == "add" and mask is None:
-            # contraction fast path (convolutions / matmuls on the MXU)
-            from .eval_jnp import try_einsum_reduce
-            red = try_einsum_reduce(g, inner, red_axes)
+            # contraction fast paths (convolutions / matmuls on the MXU)
+            from .eval_jnp import (PallasUnsupported, try_conv_reduce,
+                                   try_einsum_reduce)
+            try:
+                red = try_conv_reduce(g, inner,
+                                      [a.name for a in rdom_axes])
+            except (CompileError, PallasUnsupported):
+                red = None
+            if red is None:
+                red = try_einsum_reduce(g, inner, red_axes)
             if red is not None:
                 red = red.reshape(red.shape[-base_ctx.ndim:]) if \
                     red.ndim > base_ctx.ndim else red

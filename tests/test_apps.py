@@ -130,3 +130,8 @@ def test_lens_blur_stochastic_structural():
     assert out.shape == (3, 40, 48)
     assert np.isfinite(out).all()
     assert out.min() >= 0.0 and out.max() <= 255.0
+
+
+def test_resnet_tiny():
+    check("resnet_50", layers=(1, 1, 1, 1), width=8, classes=10,
+          image=32, batch=2)

@@ -1,0 +1,58 @@
+"""Generator CLI + RunGen harness (reference: tools/GenGen.cpp,
+tools/RunGen.h; Appendix B CLI surfaces)."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from halide_tpu.tools import gen as gen_cli
+from halide_tpu.tools import rungen as rungen_cli
+
+
+def test_gen_emits(tmp_path):
+    rc = gen_cli.main(["-g", "blur", "-o", str(tmp_path),
+                       "-e", "hlpipe,stmt,metadata,stmt_html",
+                       "width=64", "height=48"])
+    assert rc == 0
+    assert (tmp_path / "blur.hlpipe").exists()
+    assert (tmp_path / "blur.stmt").exists()
+    assert (tmp_path / "blur.metadata.json").exists()
+    assert (tmp_path / "blur.stmt.html").exists()
+    meta = json.loads((tmp_path / "blur.metadata.json").read_text())
+    assert meta["inputs"][0]["name"] == "input"
+    # the serialized pipeline reloads and runs
+    import halide_tpu as hl
+    pipe, images, _ = hl.deserialize_pipeline(
+        (tmp_path / "blur.hlpipe").read_text())
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 1 << 14, (48, 64), np.uint16)
+    images["input"].set(img)
+    out = pipe.realize([62, 46]).to_numpy()
+    ref = (img[:, :-2].astype(np.uint16) + img[:, 1:-1] + img[:, 2:]) // 3
+    ref = (ref[:-2] + ref[1:-1] + ref[2:]) // 3
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_gen_list(capsys):
+    rc = gen_cli.main(["--list"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "blur" in out and "camera_pipe" in out
+
+
+def test_rungen_describe(capsys):
+    rc = rungen_cli.main(["blur", "--describe", "width=64", "height=48"])
+    assert rc == 0
+    meta = json.loads(capsys.readouterr().out)
+    assert meta["name"] == "blur"
+
+
+def test_rungen_run_and_output(tmp_path, capsys):
+    out_file = str(tmp_path / "o.npy")
+    rc = rungen_cli.main(["blur", "width=64", "height=48",
+                          "input=random:7", "--output", out_file,
+                          "--parsable_output"])
+    assert rc == 0
+    arr = np.load(out_file)
+    assert arr.shape == (46, 62)
