@@ -59,3 +59,5 @@ __all__ = [
 
 from .serialize import serialize_pipeline, deserialize_pipeline  # noqa: E402
 __all__ += ["serialize_pipeline", "deserialize_pipeline"]
+from .derivative import propagate_adjoints  # noqa: E402
+__all__ += ["propagate_adjoints"]

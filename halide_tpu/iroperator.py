@@ -28,7 +28,7 @@ __all__ = [
     "saturating_cast", "saturating_add", "saturating_sub",
     "widening_add", "widening_sub", "widening_mul",
     "halving_add", "rounding_halving_add", "rounding_shift_right",
-    "div_round_to_zero", "mod_round_to_zero",
+    "div_round_to_zero", "mod_round_to_zero", "fast_integer_divide",
     "popcount", "count_leading_zeros", "count_trailing_zeros",
     "reinterpret", "undef", "i8", "i16", "i32", "i64",
     "u8", "u16", "u32", "u64", "f16", "f32", "f64", "bf16",
@@ -369,6 +369,12 @@ def rounding_shift_right(a, b) -> Expr:
     b = to_expr(b, hint=Int(32))
     wide = _widen(a)
     return cast(a.dtype, (wide + (cast(wide.dtype, 1) << (b - 1))) >> b)
+
+
+def fast_integer_divide(a, b) -> Expr:
+    """Integer division by a runtime u8 divisor (reference:
+    src/IROperator.h fast_integer_divide) — ordinary division on TPU."""
+    return make_binary("div", a, b)
 
 
 def div_round_to_zero(a, b) -> Expr:

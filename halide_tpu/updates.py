@@ -748,7 +748,10 @@ def _try_outer_loop(func, d, current, base_ctx: Ctx, rdom_axes):
 
     engine = BoundsEngine(resolver=resolver)
 
-    for k, rax in enumerate(rdom_axes):
+    # only the OUTERMOST rdom dim may be unrolled: the reference iterates
+    # the first dim innermost, so peeling the last dim preserves update
+    # application order (compositing's layer stack depends on it)
+    for k, rax in [(len(rdom_axes) - 1, rdom_axes[-1])]:
         if rax.extent > 64:
             continue
         # scope for bounds: pure vars over box, other rvars over ranges

@@ -135,3 +135,7 @@ def test_lens_blur_stochastic_structural():
 def test_resnet_tiny():
     check("resnet_50", layers=(1, 1, 1, 1), width=8, classes=10,
           image=32, batch=2)
+
+
+def test_compositing():
+    check("compositing", width=64, height=48)
