@@ -96,7 +96,8 @@ def main():
     only = os.environ.get("BENCH_APPS")
     deadline = time.monotonic() + float(
         os.environ.get("BENCH_BUDGET_S", "520"))
-    for name in sorted(APPS):
+    order = sorted(APPS, key=lambda n: (n == "resnet_50", n))
+    for name in order:
         if only and name not in only.split(","):
             continue
         if time.monotonic() > deadline:

@@ -104,7 +104,9 @@ def constant_exterior(source, value, bounds=None) -> Func:
 
 def repeat_image(source, bounds=None) -> Func:
     def fn(v, mn, ex):
-        return ((v - mn) % ex) + mn, None
+        # the clamp is a value-level no-op that keeps interval bounds tight
+        # (select/mod bounds are conservative in the engine)
+        return clamp(((v - mn) % ex) + mn, mn, mn + ex - 1), None
 
     f, _, _ = _wrap(source, bounds, fn, "repeat_image")
     return f
@@ -113,7 +115,8 @@ def repeat_image(source, bounds=None) -> Func:
 def mirror_image(source, bounds=None) -> Func:
     def fn(v, mn, ex):
         t = (v - mn) % (2 * ex)
-        return mn + select(t < ex, t, 2 * ex - 1 - t), None
+        return clamp(mn + select(t < ex, t, 2 * ex - 1 - t),
+                     mn, mn + ex - 1), None
 
     f, _, _ = _wrap(source, bounds, fn, "mirror_image")
     return f
@@ -123,7 +126,8 @@ def mirror_interior(source, bounds=None) -> Func:
     def fn(v, mn, ex):
         period = 2 * ex - 2
         t = (v - mn) % period
-        return mn + select(t < ex, t, period - t), None
+        return clamp(mn + select(t < ex, t, period - t),
+                     mn, mn + ex - 1), None
 
     f, _, _ = _wrap(source, bounds, fn, "mirror_interior")
     return f

@@ -1,0 +1,120 @@
+"""Misc correctness parity with reference test/correctness themes:
+compute_with, wrappers, implicit vars, boundary conditions, tuples,
+LoopLevel late binding, non-zero-min realize."""
+import numpy as np
+import pytest
+
+import halide_tpu as hl
+
+
+def test_compute_with_semantics_preserved():
+    x, y = hl.Var("x"), hl.Var("y")
+    a, b, c = hl.Func("cw_a"), hl.Func("cw_b"), hl.Func("cw_c")
+    a[x, y] = x + y
+    b[x, y] = x * y
+    a.compute_root()
+    b.compute_root()
+    a.compute_with(b, x)
+    c[x, y] = a[x, y] + b[x, y]
+    out = c.realize([4, 4]).to_numpy()
+    xs, ys = np.arange(4), np.arange(4)[:, None]
+    np.testing.assert_array_equal(out, xs + ys + xs * ys)
+
+
+def test_in_wrapper_redirects():
+    x = hl.Var("x")
+    f = hl.Func("w_f")
+    g = hl.Func("w_g")
+    f[x] = x * 3
+    g[x] = f[x] + 1
+    w = f.in_(g)
+    w.compute_root()
+    out = g.realize([5]).to_numpy()
+    np.testing.assert_array_equal(out, np.arange(5) * 3 + 1)
+
+
+def test_implicit_placeholder():
+    # lambda-style Func from an expr using `_` (reference: Var::implicit,
+    # Func.h:1276-1283)
+    x, y, c = hl.Var("x"), hl.Var("y"), hl.Var("c")
+    f = hl.Func("imp_f")
+    f[x, y, c] = x + 10 * y + 100 * c
+    g = hl.Func(f[hl._] * 2, name="imp_g")
+    out = g.realize([3, 2, 2]).to_numpy()
+    ref = (np.arange(3)[None, None, :] + 10 * np.arange(2)[None, :, None]
+           + 100 * np.arange(2)[:, None, None]) * 2
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_boundary_mirror_and_repeat():
+    x = hl.Var("x")
+    data = np.array([1, 2, 3, 4], np.int32)
+    b = hl.Buffer(data)
+    m = hl.mirror_image(b)
+    r = hl.repeat_image(b)
+    mi = hl.mirror_interior(b)
+    f = hl.Func("bc_probe")
+    f[x] = hl.Tuple(m[x - 2], r[x - 2], mi[x - 2])
+    out = f.realize([8])
+    np.testing.assert_array_equal(out[0].to_numpy(), [2, 1, 1, 2, 3, 4, 4, 3])
+    np.testing.assert_array_equal(out[1].to_numpy(), [3, 4, 1, 2, 3, 4, 1, 2])
+    np.testing.assert_array_equal(out[2].to_numpy(), [3, 2, 1, 2, 3, 4, 3, 2])
+
+
+def test_tuple_update():
+    x = hl.Var("x")
+    f = hl.Func("tu")
+    r = hl.RDom(0, 5, "tur")
+    f[x] = (0, 1.0)
+    f[x] = (f[x][0] + r.x, f[x][1] * 2.0)
+    out = f.realize([2])
+    np.testing.assert_array_equal(out[0].to_numpy(), [10, 10])
+    np.testing.assert_allclose(out[1].to_numpy(), [32.0, 32.0])
+
+
+def test_looplevel_late_binding():
+    x, y = hl.Var("x"), hl.Var("y")
+    lvl = hl.LoopLevel()
+    p = hl.Func("ll_p")
+    c = hl.Func("ll_c")
+    p[x, y] = x + y
+    p.compute_at(lvl)
+    c[x, y] = p[x, y] * 2
+    lvl.set(hl.LoopLevel.root())
+    out = c.realize([3, 3]).to_numpy()
+    np.testing.assert_array_equal(
+        out, (np.arange(3) + np.arange(3)[:, None]) * 2)
+
+
+def test_realize_into_shifted_buffer():
+    x = hl.Var("x")
+    f = hl.Func("shift_f")
+    f[x] = x * x
+    dst = hl.Buffer(type=hl.Int(32), sizes=[4], mins=[10])
+    f.realize(dst=dst)
+    np.testing.assert_array_equal(dst.to_numpy(), [100, 121, 144, 169])
+
+
+def test_specialize_accepts_variants():
+    x = hl.Var("x")
+    p = hl.Param(hl.Int(32), "sp_p", 1)
+    f = hl.Func("sp_f")
+    f[x] = x + p
+    s = f.specialize(p._to_expr() == 1)
+    s.vectorize(x, 8)
+    p.set(1)
+    np.testing.assert_array_equal(f.realize([3]).to_numpy(), [1, 2, 3])
+    p.set(5)
+    np.testing.assert_array_equal(f.realize([3]).to_numpy(), [5, 6, 7])
+
+
+def test_reduce_over_func_output_types():
+    # maximum() over a func with update defs
+    x = hl.Var("x")
+    f = hl.Func("rmax_f")
+    f[x] = x
+    f[x] *= 2
+    r = hl.RDom(0, 10, "rmax_r")
+    g = hl.Func("rmax_g")
+    g[x] = hl.maximum(f[r.x]) + x * 0
+    np.testing.assert_array_equal(g.realize([2]).to_numpy(), [18, 18])
