@@ -49,22 +49,61 @@ def _force(out):
     return np.asarray(flat[:1])
 
 
-def bench_one(app, min_delta_s=0.1, max_n=128):
-    """Per-frame time via run-length differencing: time(N runs + readback)
-    and time(2N runs + readback); per = (t2N - tN) / N. This cancels the
-    tunnel round-trip and dispatch overheads (protocol replaces the
-    reference's min-time loop, tools/halide_benchmark.h)."""
+def bench_one(app, min_delta_s=0.1, max_n=128, chain_k=24):
+    """Per-frame steady-state time. Primary protocol: run K frames inside
+    ONE jitted lax.fori_loop with a data dependency injected between
+    iterations (a zero-valued token derived from the previous output is
+    added to the first input), so iterations serialize on the device and
+    per-call tunnel/dispatch overhead is excluded: per = (t_K - t_1)/(K-1).
+    Falls back to host-loop run-length differencing.
+    (Replaces the reference's min-time loop, tools/halide_benchmark.h.)"""
     import jax
-    fn, input_arrays, _r, presets = app.pipeline._prepare(app.output_sizes)
+    import jax.numpy as jnp
+
+    fn, input_arrays, _r, presets = app.pipeline._prepare(
+        app.output_sizes, jit=False)
     args = tuple(jax.device_put(a) for a in input_arrays)
-    out = fn(args, presets)
+
+    def chained(k):
+        @jax.jit
+        def run(args):
+            def body(i, tok):
+                a0 = args[0] + jnp.asarray(tok, args[0].dtype)
+                out = fn((a0,) + args[1:], presets)
+                leaf = jax.tree_util.tree_leaves(out)[0]
+                return (leaf.reshape(-1)[0] * 0).astype(jnp.int32)
+            return jax.lax.fori_loop(0, k, body, jnp.int32(0),
+                                     unroll=False)
+        return run
+
+    try:
+        r1 = chained(1)
+        rk = chained(chain_k)
+        _force(r1(args))
+        _force(rk(args))
+        best = math.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _force(r1(args))
+            t1 = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            _force(rk(args))
+            tk = time.perf_counter() - t0
+            best = min(best, (tk - t1) / (chain_k - 1))
+        if best > 0:
+            return best
+    except Exception:
+        pass
+
+    jfn = jax.jit(fn)
+    out = jfn(args, presets)
     _force(out)
 
     def run_n(n):
         t0 = time.perf_counter()
         o = None
         for _ in range(n):
-            o = fn(args, presets)
+            o = jfn(args, presets)
         _force(o)
         return time.perf_counter() - t0
 
@@ -80,7 +119,20 @@ def bench_one(app, min_delta_s=0.1, max_n=128):
 
 def main():
     import os
+    import signal
     import jax
+
+    class _HardDeadline(Exception):
+        pass
+
+    def _on_alarm(signum, frame):
+        raise _HardDeadline()
+
+    try:
+        signal.signal(signal.SIGALRM, _on_alarm)
+        signal.alarm(int(os.environ.get("BENCH_HARD_S", "540")))
+    except Exception:
+        pass
     try:
         # persistent compile cache: repeated bench runs skip recompiles
         jax.config.update("jax_compilation_cache_dir",
@@ -104,6 +156,8 @@ def main():
             errors[name] = "skipped: bench budget exhausted"
             continue
         try:
+            t_app = time.monotonic()
+            print(f"bench: {name}...", file=sys.stderr, flush=True)
             builder = APPS[name]
             try:
                 app = builder(**CANONICAL)
@@ -112,6 +166,8 @@ def main():
             data = app.make_inputs()
             app.bind(data)
             dt = bench_one(app)
+            print(f"bench: {name} done in {time.monotonic()-t_app:.1f}s "
+                  f"-> {dt*1e3:.3f} ms/frame", file=sys.stderr, flush=True)
             mps = app.megapixels / dt
             results[name] = {"ms": dt * 1e3, "mp_per_s": mps}
             if name in REF_CPU_MS:
@@ -119,6 +175,9 @@ def main():
                 ref_mps = ref_mp / (REF_CPU_MS[name] * 1e-3)
                 ratios.append(mps / ref_mps)
                 results[name]["vs_ref_cpu"] = mps / ref_mps
+        except _HardDeadline:
+            errors[name] = "skipped: hard deadline"
+            break
         except Exception as e:  # keep the harness robust; report what ran
             errors[name] = f"{type(e).__name__}: {e}"
     if not results:

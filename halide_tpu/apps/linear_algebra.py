@@ -1,0 +1,108 @@
+"""linear_algebra: BLAS-style generators on the Func DSL
+(reference: apps/linear_algebra/src/blas_l*_generators.cpp — saxpy/sdot/
+sgemv/sgemm; apps/cuda_mat_mul). Contractions hit the MXU via the einsum
+lowering."""
+from __future__ import annotations
+
+import numpy as np
+
+import halide_tpu as hl
+
+from . import App, register
+
+
+@register("sgemm")
+def build_sgemm(M: int = 2048, N: int = 2048, K: int = 2048,
+                alpha: float = 1.5, beta: float = 0.5, **_ignored) -> App:
+    i, j = hl.Var("i"), hl.Var("j")
+    A = hl.ImageParam(hl.Float(32), 2, "A")   # (i, k) -> np [k, i]
+    B = hl.ImageParam(hl.Float(32), 2, "B")   # (k, j) -> np [j, k]
+    C = hl.ImageParam(hl.Float(32), 2, "C")
+
+    r = hl.RDom(0, K, "rk")
+    prod = hl.Func("AB")
+    prod[i, j] = 0.0
+    prod[i, j] += A[i, r.x] * B[r.x, j]
+    out = hl.Func("sgemm")
+    out[i, j] = alpha * prod[i, j] + beta * C[i, j]
+
+    def make_inputs(seed=0):
+        rng = np.random.default_rng(seed)
+        return {"A": rng.standard_normal((K, M)).astype(np.float32),
+                "B": rng.standard_normal((N, K)).astype(np.float32),
+                "C": rng.standard_normal((N, M)).astype(np.float32)}
+
+    def reference(A, B, C):
+        # np layouts: A[k, i], B[j, k], C[j, i]; result np [j, i]
+        f = np.float32
+        return (f(alpha) * np.einsum("ki,jk->ji", A, B, dtype=f)
+                + f(beta) * C).astype(f)
+
+    return App("sgemm", hl.Pipeline(out), [A, B, C], make_inputs, reference,
+               [M, N], megapixels=M * N / 1e6, tolerance=1e-2, atol=1e-2)
+
+
+@register("sgemv")
+def build_sgemv(M: int = 4096, N: int = 4096, **_ignored) -> App:
+    i = hl.Var("i")
+    A = hl.ImageParam(hl.Float(32), 2, "A")   # (i, j)
+    xv = hl.ImageParam(hl.Float(32), 1, "x")
+    r = hl.RDom(0, N, "rj")
+    out = hl.Func("sgemv")
+    out[i] = 0.0
+    out[i] += A[i, r.x] * xv[r.x]
+
+    def make_inputs(seed=0):
+        rng = np.random.default_rng(seed)
+        return {"A": rng.standard_normal((N, M)).astype(np.float32),
+                "x": rng.standard_normal(N).astype(np.float32)}
+
+    def reference(A, x):
+        return np.einsum("ji,j->i", A, x,
+                         dtype=np.float32).astype(np.float32)
+
+    return App("sgemv", hl.Pipeline(out), [A, xv], make_inputs, reference,
+               [M], megapixels=M / 1e6, tolerance=1e-2, atol=1e-2)
+
+
+@register("saxpy")
+def build_saxpy(N: int = 1 << 22, a: float = 1.5, **_ignored) -> App:
+    i = hl.Var("i")
+    xv = hl.ImageParam(hl.Float(32), 1, "x")
+    yv = hl.ImageParam(hl.Float(32), 1, "y")
+    out = hl.Func("saxpy")
+    out[i] = a * xv[i] + yv[i]
+
+    def make_inputs(seed=0):
+        rng = np.random.default_rng(seed)
+        return {"x": rng.standard_normal(N).astype(np.float32),
+                "y": rng.standard_normal(N).astype(np.float32)}
+
+    def reference(x, y):
+        return (np.float32(a) * x + y).astype(np.float32)
+
+    return App("saxpy", hl.Pipeline(out), [xv, yv], make_inputs, reference,
+               [N], megapixels=N / 1e6, tolerance=1e-6, atol=1e-6)
+
+
+@register("sdot")
+def build_sdot(N: int = 1 << 22, **_ignored) -> App:
+    i = hl.Var("i")
+    xv = hl.ImageParam(hl.Float(32), 1, "x")
+    yv = hl.ImageParam(hl.Float(32), 1, "y")
+    r = hl.RDom(0, N, "rd")
+    out = hl.Func("sdot")
+    out[i] = 0.0
+    out[i] += xv[r.x] * yv[r.x]
+
+    def make_inputs(seed=0):
+        rng = np.random.default_rng(seed)
+        return {"x": (rng.standard_normal(N) * 0.01).astype(np.float32),
+                "y": (rng.standard_normal(N) * 0.01).astype(np.float32)}
+
+    def reference(x, y):
+        return np.array([np.dot(x.astype(np.float64),
+                                y.astype(np.float64))], np.float32)
+
+    return App("sdot", hl.Pipeline(out), [xv, yv], make_inputs, reference,
+               [1], megapixels=N / 1e6, tolerance=1e-2, atol=1e-1)

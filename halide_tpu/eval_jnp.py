@@ -69,6 +69,18 @@ class ClampedAVal:
         self.hi = hi
 
 
+class DivAVal:
+    """(var + c) // d with d > 0 — kept symbolic so producer access lowers to
+    repeat(d) + slice instead of a gather (the upsample/deinterleave fast
+    path: x/2 reads in pyramids, x/8 grid reads in bilateral_grid)."""
+    __slots__ = ("var", "const", "div")
+
+    def __init__(self, var: str, const: int, div: int):
+        self.var = var
+        self.const = int(const)
+        self.div = int(div)
+
+
 class Axis:
     __slots__ = ("name", "rpos", "min", "extent")
 
@@ -202,7 +214,13 @@ def axis_array(ax: Axis, ctx: Ctx):
 
 
 def materialize(v, ctx: Ctx, dtype: Optional[Type] = None):
-    """AVal/ClampedAVal -> int32 array; arrays pass through."""
+    """AVal/ClampedAVal/DivAVal -> int32 array; arrays pass through."""
+    if isinstance(v, DivAVal):
+        ax = ctx.axes.get(v.var)
+        if ax is None:
+            raise CompileError(f"free variable {v.var} in evaluation")
+        arr = axis_array(ax, ctx)
+        return jnp.floor_divide(arr + v.const, v.div)
     if isinstance(v, ClampedAVal):
         arr = materialize(v.aval, ctx)
         lo = v.lo if v.lo != -math.inf else None
@@ -379,6 +397,22 @@ def _aval_binary(op, a, b):
                     a.const % d == 0:
                 return AVal({k: v // d for k, v in a.coeffs.items()},
                             a.const // d)
+            sv = a.single_var()
+            if sv is not None and a.coeffs[sv] == 1 and d > 1:
+                return DivAVal(sv, a.const, d)
+        if isinstance(a, DivAVal) and isinstance(b, AVal) and b.is_const() \
+                and b.const > 0:
+            return DivAVal(a.var, a.const, a.div * b.const) \
+                if False else None
+    if op in ("add", "sub") and (isinstance(a, DivAVal)
+                                 or isinstance(b, DivAVal)):
+        # (x + c)//d +- e == (x + c +- e*d)//d exactly
+        if isinstance(a, DivAVal) and isinstance(b, AVal) and b.is_const():
+            e2 = b.const if op == "add" else -b.const
+            return DivAVal(a.var, a.const + e2 * a.div, a.div)
+        if isinstance(b, DivAVal) and isinstance(a, AVal) and a.is_const() \
+                and op == "add":
+            return DivAVal(b.var, b.const + a.const * b.div, b.div)
     if op == "mod":
         if isinstance(a, AVal) and isinstance(b, AVal) and b.is_const() \
                 and b.const != 0 and a.is_const():
@@ -529,6 +563,9 @@ def _affine_read(P, real: Realized, args, ctx: Ctx):
     used_vars: List[Optional[str]] = []
     multi_vars: List[str] = []
     for v in args:
+        if isinstance(v, DivAVal):
+            used_vars.append(v.var)
+            continue
         av = v.aval if isinstance(v, ClampedAVal) else v
         if not isinstance(av, AVal):
             sliceable = False
@@ -574,11 +611,28 @@ def _affine_read(P, real: Realized, args, ctx: Ctx):
         named = [v for v in used_vars if v is not None]
         if len(set(named)) != len(named):
             sliceable = False    # diagonal access cannot slice
+    has_div = any(isinstance(v, DivAVal) for v in args)
     if traced:
-        if not sliceable:
+        if not sliceable or has_div:
             raise PallasUnsupported(
                 "non-affine access with traced tile origin")
         return _dyn_slice_read(P, real, args, ctx)
+    if sliceable and has_div:
+        # repeat the divided producer dims so the access becomes stride-1
+        nd2 = len(P.shape)
+        mins2 = list(real.mins)
+        args2 = []
+        P2 = P
+        for j, v in enumerate(args):
+            if isinstance(v, DivAVal):
+                npax = nd2 - 1 - j
+                P2 = jnp.repeat(P2, v.div, axis=npax)
+                mins2[j] = real.mins[j] * v.div
+                args2.append(AVal({v.var: 1}, v.const))
+            else:
+                args2.append(v)
+        stub = Realized((P2,), mins2, real.name)
+        return _slice_read(P2, stub, args2, ctx)
     if sliceable:
         return _slice_read(P, real, args, ctx)
     return _gather_read(P, real, args, ctx)

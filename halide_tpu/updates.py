@@ -545,8 +545,92 @@ def _scatter_update(func, d, current, base_ctx: Ctx, rdom_axes,
                          kinds, ops, mask)
         if r is not None:
             return r
+    r = _try_unrolled_onehot(func, d, current, base_ctx, rdom_axes, ops)
+    if r is not None:
+        return r
     return _general_scatter(func, d, current, base_ctx, inner, rdom_axes,
                             ops, mask)
+
+
+_ONEHOT_MAX_RDOM = 128
+
+
+def _try_unrolled_onehot(func, d, current, base_ctx: Ctx, rdom_axes, ops):
+    """Small-rdom scatter -> unrolled dense one-hot accumulation: for each
+    rdom point, out += where(written_coords == computed_idx, v, identity).
+    TPU scatters are slow; this turns bilateral_grid's construction into 64
+    fused VPU passes (SURVEY.md §7 'scatter stages fight TPU's vector
+    model')."""
+    if not rdom_axes:
+        return None
+    total = 1
+    for a in rdom_axes:
+        total *= a.extent
+    if total > _ONEHOT_MAX_RDOM:
+        return None
+    if any(op[0] not in ("add", "sub", "min", "max", "mul")
+           for op in ops):
+        return None
+    init_args = func._defs[0].args
+    identity = [isinstance(a, E.Variable) and a.name == init_args[i].name
+                for i, a in enumerate(d.args)]
+    if all(identity):
+        return None
+    from .eval_jnp import axis_array
+
+    cur_list = list(current)
+    shape = _out_shape(base_ctx)
+    combos = [[]]
+    for a in rdom_axes:
+        combos = [c + [val] for c in combos
+                  for val in range(a.min, a.min + a.extent)]
+    for combo in combos:
+        bind = dict(base_ctx.bindings)
+        for a, val in zip(rdom_axes, combo):
+            bind[a.name] = AVal({}, val)
+        ctx2 = base_ctx.with_bindings(bind)
+        ctx2.realizations = dict(base_ctx.realizations)
+        ctx2.realizations[id(func)] = Realized(
+            cur_list, [base_ctx.axes[v.name].min for v in init_args],
+            func.name)
+        m = None
+        for p in d.predicates:
+            pv = eval_array(p, ctx2)
+            m = pv if m is None else jnp.logical_and(m, pv)
+        for j, a2 in enumerate(d.args):
+            if identity[j]:
+                continue
+            idx = materialize(evaluate(a2, ctx2), ctx2)
+            coord = axis_array(base_ctx.axes[init_args[j].name], base_ctx)
+            hit = jnp.equal(jnp.asarray(idx), coord)
+            m = hit if m is None else jnp.logical_and(m, hit)
+        news = []
+        for i, (op, g) in enumerate(ops):
+            cur = cur_list[i]
+            v = materialize(evaluate(g, ctx2), ctx2)
+            v = jnp.asarray(v, dtype=cur.dtype)
+            if op == "add":
+                upd = cur + jnp.where(m, jnp.broadcast_to(v, shape),
+                                      jnp.zeros(shape, cur.dtype))
+            elif op == "sub":
+                upd = cur - jnp.where(m, jnp.broadcast_to(v, shape),
+                                      jnp.zeros(shape, cur.dtype))
+            elif op == "mul":
+                upd = cur * jnp.where(m, jnp.broadcast_to(v, shape),
+                                      jnp.ones(shape, cur.dtype))
+            elif op == "min":
+                upd = jnp.minimum(cur, jnp.where(
+                    m, jnp.broadcast_to(v, shape),
+                    jnp.full(shape, d.values[i].dtype.max_value(),
+                             cur.dtype)))
+            else:
+                upd = jnp.maximum(cur, jnp.where(
+                    m, jnp.broadcast_to(v, shape),
+                    jnp.full(shape, d.values[i].dtype.min_value(),
+                             cur.dtype)))
+            news.append(upd)
+        cur_list = news
+    return cur_list
 
 
 def _slab_update(func, d, current, base_ctx, inner, rdom_axes, kinds, ops,

@@ -139,3 +139,23 @@ def test_resnet_tiny():
 
 def test_compositing():
     check("compositing", width=64, height=48)
+
+
+def test_linear_blur():
+    check("linear_blur", width=64, height=48)
+
+
+def test_sgemm():
+    check("sgemm", M=128, N=96, K=64)
+
+
+def test_sgemv():
+    check("sgemv", M=64, N=128)
+
+
+def test_saxpy():
+    check("saxpy", N=1000)
+
+
+def test_sdot():
+    check("sdot", N=4096)
