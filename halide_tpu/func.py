@@ -254,8 +254,29 @@ class Stage:
         else:
             tgt = name
         s = self._sched
-        s.dims[s.find_dim(tgt)].for_type = ft
+        di = s.find_dim(tgt)
+        if (ft == ForType.PARALLEL and s.dims[di].is_rvar
+                and self.index > 0):
+            self._check_parallel_rvar()
+        s.dims[di].for_type = ft
         return self
+
+    def _check_parallel_rvar(self):
+        """Parallelizing an RVar requires a proof (reference:
+        src/ParallelRVar.cpp + Associativity.cpp): the update must be
+        atomic(), allow_race_conditions(), or a provably associative
+        combine."""
+        s = self._sched
+        if s.atomic or s.allow_races:
+            return
+        from .updates import _decompose_combine
+        d = self.func._defs[self.index]
+        for i, v in enumerate(d.values):
+            if _decompose_combine(v, self.func, d.args, i) is None:
+                raise CompileError(
+                    f"{self.func.name}: cannot parallelize an RVar of a "
+                    "non-associative update; use atomic(), rfactor(), or "
+                    "allow_race_conditions()")
 
     def vectorize(self, var, factor=None, tail=TailStrategy.Auto) -> "Stage":
         return self._mark(var, ForType.VECTORIZED, factor, tail)
@@ -386,6 +407,7 @@ class Func:
         self._required_types: Optional[List[Type]] = None
         self._required_dims: Optional[int] = None
         self._specializations: List = []   # managed by specialize.py
+        self._extern = None
         if name_or_expr is not None:
             # Func(expr): 0-arg lambda unless the expr uses implicit vars
             e = to_expr(name_or_expr)
@@ -481,7 +503,7 @@ class Func:
 
     # ---- introspection ---------------------------------------------------
     def defined(self) -> bool:
-        return bool(self._defs)
+        return bool(self._defs) or self.is_extern()
 
     def dimensions(self) -> int:
         if not self.defined():
@@ -495,6 +517,8 @@ class Func:
         return len(self._defs[0].values) if self.defined() else 0
 
     def output_type(self, value_index: int = 0) -> Type:
+        if self.is_extern():
+            return self._extern["type"]
         if not self.defined():
             raise CompileError(f"Func {self.name} is used before it is defined")
         return self._defs[0].values[value_index].dtype
@@ -681,6 +705,32 @@ class Func:
             return bound_method
         raise AttributeError(f"Func has no attribute {item!r}")
 
+    def define_extern(self, name, callback, input_sources=None,
+                      output_type=None, dimensions=None, footprint=None):
+        """Define this Func as an extern stage (reference:
+        src/Function.h:247 define_extern + the bounds-query protocol,
+        BoundsInference.cpp:452-506). `callback(*input_np_arrays) ->
+        np_array` runs on the host via jax.pure_callback;
+        `footprint(output_box) -> [input_boxes]` is the analog of the
+        null-host bounds query (defaults to passing the output box
+        through)."""
+        from .htypes import Float
+        if self._defs:
+            raise CompileError(f"{self.name} is already defined")
+        self.name = name or self.name
+        self._extern = {
+            "callback": callback,
+            "inputs": list(input_sources or []),
+            "type": output_type or Float(32),
+            "dims": int(dimensions if dimensions is not None else 2),
+            "footprint": footprint,
+        }
+        self._args = tuple(Var(f"_e{i}") for i in range(self._extern["dims"]))
+        return self
+
+    def is_extern(self) -> bool:
+        return getattr(self, "_extern", None) is not None
+
     # ---- execution --------------------------------------------------------
     def realize(self, sizes=None, target=None, **kw):
         from .pipeline import Pipeline
@@ -700,6 +750,8 @@ class Func:
         return Pipeline(self).infer_input_bounds(*a, **kw)
 
     def __repr__(self):
+        if self.is_extern():
+            return f"Func({self.name}, extern)"
         if not self.defined():
             return f"Func({self.name}, undefined)"
         a = ", ".join(v.name for v in self._args)

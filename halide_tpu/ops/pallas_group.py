@@ -45,6 +45,8 @@ def _cdiv(a, b):
 def find_tile(f: Func) -> Optional[Tuple[str, int, str, int]]:
     """Return (xdim_name, tx, ydim_name, ty) from the stage-0 splits, or a
     1-D (xdim, tx, None, None)."""
+    if not f._defs:
+        return None
     s = f._defs[0].schedule
     tiles = []
     for sp in s.splits:

@@ -95,6 +95,8 @@ def gather_graph(outputs: List[Func]) -> _Graph:
     visiting: set = set()
 
     def want_materialize(f: Func) -> bool:
+        if f.is_extern():
+            return True
         lvl = f._fschedule.compute_level
         if lvl.is_inlined():
             if len(f._defs) > 1:
@@ -122,6 +124,12 @@ def gather_graph(outputs: List[Func]) -> _Graph:
         if not f.defined():
             raise CompileError(f"Func {f.name} is used before it is defined")
         visiting.add(id(f))
+        if f.is_extern():
+            for src in f._extern["inputs"]:
+                if isinstance(src, Func):
+                    visit(src)
+                else:
+                    g.inputs.setdefault(id(src), src)
         for e in _all_def_exprs(f):
             _scan_expr_targets(
                 e,
@@ -185,6 +193,8 @@ class _BoundsPass:
 
     def _self_fixpoint(self, f: Func, box: Box):
         """Grow box[f] to cover its own updates' reads and writes."""
+        if f.is_extern():
+            return
         for _ in range(16):
             changed = False
             for d in f._defs[1:]:
@@ -217,6 +227,17 @@ class _BoundsPass:
         raise CompileError(f"{f.name}: self-bounds did not converge")
 
     def _footprints(self, f: Func, box: Box):
+        if f.is_extern():
+            # bounds-query protocol: ask the stage which input boxes it
+            # needs for this output box (reference: extern_output_aottest)
+            fp = f._extern["footprint"]
+            in_boxes = fp(box) if fp is not None else [
+                Box(list(box.dims)) for _ in f._extern["inputs"]]
+            for src, b2 in zip(f._extern["inputs"], in_boxes):
+                dst = self.boxes.setdefault(
+                    id(src), Box.empty(src.dimensions()))
+                dst.union(b2)
+            return
         for d in f._defs:
             scope = self._def_scope(f, d, box)
             exprs = list(d.values) + list(d.predicates) + [
@@ -801,6 +822,27 @@ class Pipeline:
         print_loop_nest(self.outputs[0])
 
 
+def _evaluate_extern(f: Func, box: Box, ctx0: Ctx) -> Realized:
+    """Run the extern stage's host callback via jax.pure_callback
+    (reference: SURVEY.md §2.1 'Extern stages' — jax.pure_callback with the
+    same bounds-query contract)."""
+    meta = f._extern
+    in_arrays = []
+    for src in meta["inputs"]:
+        real = ctx0.realizations.get(id(src))
+        if real is None:
+            raise CompileError(
+                f"extern stage {f.name}: input "
+                f"{getattr(src, 'name', src)} not realized")
+        in_arrays.append(real.arrays[0])
+    out_shape = tuple(reversed(box.extents()))
+    result = jax.pure_callback(
+        meta["callback"],
+        jax.ShapeDtypeStruct(out_shape, meta["type"].to_np()),
+        *in_arrays)
+    return Realized((result,), box.mins(), f.name)
+
+
 def _static_expr_int(e) -> int:
     if isinstance(e, E.IntImm):
         return e.value
@@ -811,6 +853,8 @@ def _static_expr_int(e) -> int:
 
 
 def _evaluate_func(f: Func, box: Box, ctx0: Ctx) -> Realized:
+    if f.is_extern():
+        return _evaluate_extern(f, box, ctx0)
     n = f.dimensions()
     axes = {}
     for i, v in enumerate(f._args):

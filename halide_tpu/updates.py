@@ -556,8 +556,9 @@ _ONEHOT_MAX_RDOM = 128
 
 
 def _try_unrolled_onehot(func, d, current, base_ctx: Ctx, rdom_axes, ops):
-    """Small-rdom scatter -> unrolled dense one-hot accumulation: for each
-    rdom point, out += where(written_coords == computed_idx, v, identity).
+    """Small-rdom scatter -> dense one-hot accumulation: evaluate the index
+    and value fields ONCE over the rdom grid, then fori_loop over rdom
+    points applying out (op)= where(written_coords == idx, v, identity).
     TPU scatters are slow; this turns bilateral_grid's construction into 64
     fused VPU passes (SURVEY.md §7 'scatter stages fight TPU's vector
     model')."""
@@ -568,9 +569,16 @@ def _try_unrolled_onehot(func, d, current, base_ctx: Ctx, rdom_axes, ops):
         total *= a.extent
     if total > _ONEHOT_MAX_RDOM:
         return None
-    if any(op[0] not in ("add", "sub", "min", "max", "mul")
-           for op in ops):
+    if any(op[0] not in ("add", "sub", "min", "max", "mul") for op in ops):
         return None
+    # the batched pre-evaluation reads the pre-update state once, which is
+    # only sequential-equivalent if nothing here reads the func itself
+    for _op, g in ops:
+        if find_self_calls(g, func):
+            return None
+    for p in d.predicates:
+        if find_self_calls(p, func):
+            return None
     init_args = func._defs[0].args
     identity = [isinstance(a, E.Variable) and a.name == init_args[i].name
                 for i, a in enumerate(d.args)]
@@ -578,164 +586,65 @@ def _try_unrolled_onehot(func, d, current, base_ctx: Ctx, rdom_axes, ops):
         return None
     from .eval_jnp import axis_array
 
-    cur_list = list(current)
+    inner = base_ctx.extended(rdom_axes)
+    base_nd = base_ctx.ndim
     shape = _out_shape(base_ctx)
-    combos = [[]]
-    for a in rdom_axes:
-        combos = [c + [val] for c in combos
-                  for val in range(a.min, a.min + a.extent)]
-    for combo in combos:
-        bind = dict(base_ctx.bindings)
-        for a, val in zip(rdom_axes, combo):
-            bind[a.name] = AVal({}, val)
-        ctx2 = base_ctx.with_bindings(bind)
-        ctx2.realizations = dict(base_ctx.realizations)
-        ctx2.realizations[id(func)] = Realized(
-            cur_list, [base_ctx.axes[v.name].min for v in init_args],
-            func.name)
+    inner_full = full_shape(inner, list(inner.axes.values()))
+
+    def flat(x):
+        """inner-ctx value -> (R, *base shape) with rdom axes flattened."""
+        x = jnp.broadcast_to(jnp.asarray(x), inner_full)
+        return x.reshape((-1,) + tuple(x.shape[-base_nd:]))
+
+    mask_full = _eval_mask(d.predicates, inner)
+    mask_full = flat(mask_full) if mask_full is not None else None
+    idx_full = {}
+    for j, a2 in enumerate(d.args):
+        if identity[j]:
+            continue
+        idx_full[j] = flat(materialize(evaluate(a2, inner), inner))
+    g_full = [flat(materialize(evaluate(g, inner), inner)
+                   ).astype(current[i].dtype)
+              for i, (_op, g) in enumerate(ops)]
+    coords = {j: axis_array(base_ctx.axes[init_args[j].name], base_ctx)
+              for j in idx_full}
+
+    def body(r, cur_tuple):
         m = None
-        for p in d.predicates:
-            pv = eval_array(p, ctx2)
-            m = pv if m is None else jnp.logical_and(m, pv)
-        for j, a2 in enumerate(d.args):
-            if identity[j]:
-                continue
-            idx = materialize(evaluate(a2, ctx2), ctx2)
-            coord = axis_array(base_ctx.axes[init_args[j].name], base_ctx)
-            hit = jnp.equal(jnp.asarray(idx), coord)
+        if mask_full is not None:
+            m = jax.lax.dynamic_index_in_dim(mask_full, r, 0,
+                                             keepdims=False)
+        for j, arr in idx_full.items():
+            idx_r = jax.lax.dynamic_index_in_dim(arr, r, 0, keepdims=False)
+            hit = jnp.equal(idx_r, coords[j])
             m = hit if m is None else jnp.logical_and(m, hit)
         news = []
-        for i, (op, g) in enumerate(ops):
-            cur = cur_list[i]
-            v = materialize(evaluate(g, ctx2), ctx2)
-            v = jnp.asarray(v, dtype=cur.dtype)
+        for i, (op, _g) in enumerate(ops):
+            cur = cur_tuple[i]
+            v = jax.lax.dynamic_index_in_dim(g_full[i], r, 0,
+                                             keepdims=False)
+            v = jnp.broadcast_to(v, shape)
             if op == "add":
-                upd = cur + jnp.where(m, jnp.broadcast_to(v, shape),
-                                      jnp.zeros(shape, cur.dtype))
+                upd = cur + jnp.where(m, v, jnp.zeros(shape, cur.dtype))
             elif op == "sub":
-                upd = cur - jnp.where(m, jnp.broadcast_to(v, shape),
-                                      jnp.zeros(shape, cur.dtype))
+                upd = cur - jnp.where(m, v, jnp.zeros(shape, cur.dtype))
             elif op == "mul":
-                upd = cur * jnp.where(m, jnp.broadcast_to(v, shape),
-                                      jnp.ones(shape, cur.dtype))
+                upd = cur * jnp.where(m, v, jnp.ones(shape, cur.dtype))
             elif op == "min":
                 upd = jnp.minimum(cur, jnp.where(
-                    m, jnp.broadcast_to(v, shape),
-                    jnp.full(shape, d.values[i].dtype.max_value(),
-                             cur.dtype)))
+                    m, v, jnp.full(shape, d.values[i].dtype.max_value(),
+                                   cur.dtype)))
             else:
                 upd = jnp.maximum(cur, jnp.where(
-                    m, jnp.broadcast_to(v, shape),
-                    jnp.full(shape, d.values[i].dtype.min_value(),
-                             cur.dtype)))
+                    m, v, jnp.full(shape, d.values[i].dtype.min_value(),
+                                   cur.dtype)))
             news.append(upd)
-        cur_list = news
-    return cur_list
+        return tuple(news)
 
-
-def _slab_update(func, d, current, base_ctx, inner, rdom_axes, kinds, ops,
-                 mask):
-    """All LHS dims are identity axes, constants, or full rvar spans: the
-    write region is a box -> evaluate the block and dynamic_update_slice.
-    rvar axes not consumed by the LHS ("free") are reduced per the combine
-    op; a masked or `set` update with free rvars stays on the scatter path
-    (duplicate writes are order-sensitive)."""
-    init_args = func._defs[0].args
-    nd = current[0].ndim
-    spanned = {k[1].name for k in kinds if k is not None and k[0] == "rspan"}
-    free_rvars = [a for a in rdom_axes if a.name not in spanned]
-    if free_rvars and (mask is not None or any(o[0] == "set" for o in ops)):
-        return None
-
-    # target box: offsets + sizes per np axis
-    offsets = [0] * nd
-    sizes = list(current[0].shape)
-    for j, k in enumerate(kinds):
-        npax = nd - 1 - j
-        ax_min = base_ctx.axes[init_args[j].name].min
-        if k[0] == "axis":
-            continue
-        if k[0] == "const":
-            offsets[npax] = k[1] - ax_min
-            sizes[npax] = 1
-        else:
-            _, rax, stride, c = k
-            lo = c + rax.min if stride == 1 else c - (rax.min + rax.extent - 1)
-            offsets[npax] = lo - ax_min
-            sizes[npax] = rax.extent
-    if any(o < 0 or o + s > cs
-           for o, s, cs in zip(offsets, sizes, current[0].shape)):
-        return None   # box exceeds the realization: let scatter drop OOB
-
-    def layout(x, reduce_op=None, identity=None):
-        """inner-ctx value -> block of shape `sizes` (np order)."""
-        # broadcast only over rvar axes + identity-dim base axes; base axes
-        # of const/rspan dims must stay size 1 (their pure vars cannot
-        # appear in the update)
-        layout_axes = list(rdom_axes) + [
-            base_ctx.axes[init_args[j].name]
-            for j, k2 in enumerate(kinds) if k2[0] == "axis"]
-        tgt = full_shape(inner, layout_axes)
-        x = jnp.broadcast_to(x, tgt)
-        if free_rvars:
-            red = tuple(inner.ndim - 1 - a.rpos for a in free_rvars)
-            fn = {"add": jnp.sum, "sub": jnp.sum, "mul": jnp.prod,
-                  "min": jnp.min, "max": jnp.max}[reduce_op]
-            x = fn(x, axis=red, keepdims=True)
-        # permutation: output base axis p takes either the base part axis or
-        # the spanned rvar axis
-        perm = []
-        flips = []
-        for p in range(nd):
-            j = nd - 1 - p   # pipeline dim
-            k = kinds[j]
-            if k[0] == "rspan":
-                _, rax, stride, _c = k
-                perm.append(inner.ndim - 1 - rax.rpos)
-                if stride == -1:
-                    flips.append(p)
-            else:
-                perm.append(inner.ndim - nd + p)
-        unused = [a for a in range(inner.ndim) if a not in perm]
-        x = jnp.transpose(x, unused + perm)
-        x = x.reshape(tuple(x.shape[len(unused):]))
-        if flips:
-            x = jnp.flip(x, axis=tuple(flips))
-        # const dims carry the full box axis (size box-extent or 1): crop to 1
-        idx = tuple(
-            slice(0, 1) if sizes[p] == 1 and x.shape[p] != 1 else slice(None)
-            for p in range(nd))
-        return jnp.broadcast_to(x[idx], tuple(sizes))
-
-    out = []
-    for i, (op, g) in enumerate(ops):
-        cur = current[i]
-        garr = eval_array(g, inner)
-        if mask is not None and op != "set":
-            ident = jnp.array(_identity_for(op, d.values[i].dtype),
-                              dtype=jnp.asarray(garr).dtype)
-            garr = jnp.where(mask, garr, ident)
-        block = layout(garr, reduce_op=op if op != "set" else None)
-        block = block.astype(cur.dtype)
-        sub = jax.lax.dynamic_slice(cur, offsets, sizes)
-        if op == "set":
-            if mask is not None:
-                mblock = layout(mask)
-                nv = jnp.where(mblock, block, sub)
-            else:
-                nv = block
-        elif op == "add":
-            nv = sub + block
-        elif op == "sub":
-            nv = sub - block
-        elif op == "mul":
-            nv = sub * block
-        elif op == "min":
-            nv = jnp.minimum(sub, block)
-        else:
-            nv = jnp.maximum(sub, block)
-        out.append(jax.lax.dynamic_update_slice(cur, nv, offsets))
-    return out
+    out = jax.lax.fori_loop(
+        0, total, body,
+        tuple(jnp.broadcast_to(c, shape) for c in current))
+    return list(out)
 
 
 def _general_scatter(func, d, current, base_ctx, inner, rdom_axes, ops,

@@ -118,3 +118,48 @@ def test_reduce_over_func_output_types():
     g = hl.Func("rmax_g")
     g[x] = hl.maximum(f[r.x]) + x * 0
     np.testing.assert_array_equal(g.realize([2]).to_numpy(), [18, 18])
+
+
+def test_extern_stage_bounds_query():
+    from halide_tpu.bounds import Box, Interval
+    x, y = hl.Var("x"), hl.Var("y")
+    inp = hl.ImageParam(hl.Float(32), 2, "ext_in")
+    data = np.arange(48, dtype=np.float32).reshape(6, 8)
+    inp.set(data)
+    seen_boxes = []
+
+    def footprint(out_box):
+        seen_boxes.append([(iv.lo, iv.hi) for iv in out_box.dims])
+        # needs a +1 halo in x
+        return [Box([Interval(out_box.dims[0].lo,
+                              out_box.dims[0].hi + 1),
+                     out_box.dims[1]])]
+
+    def callback(arr):
+        return (arr[:, :-1] + arr[:, 1:]).astype(np.float32)
+
+    ext = hl.Func("ext_stage")
+    ext.define_extern("ext_stage", callback, [inp],
+                      output_type=hl.Float(32), dimensions=2,
+                      footprint=footprint)
+    out = hl.Func("ext_out")
+    out[x, y] = ext[x, y] * 2.0
+    res = out.realize([7, 6]).to_numpy()
+    ref = (data[:, :-1] + data[:, 1:]) * 2
+    np.testing.assert_allclose(res, ref)
+    assert seen_boxes and seen_boxes[0][0] == (0, 6)
+
+
+def test_parallel_rvar_requires_proof():
+    x = hl.Var("x")
+    f = hl.Func("prv")
+    r = hl.RDom(0, 10, "prv_r")
+    f[x] = 0
+    f[x] = hl.select(r.x > 2, f[x] * 2 + r.x, f[x])
+    with pytest.raises(hl.CompileError):
+        f.update().parallel(r.x)
+    g = hl.Func("prv2")
+    g[x] = 0
+    g[x] += r.x
+    g.update().atomic().parallel(r.x)   # fine with atomic()
+    np.testing.assert_array_equal(g.realize([2]).to_numpy(), [45, 45])
