@@ -15,7 +15,7 @@ from typing import Callable, Dict, List, Optional
 APPS: Dict[str, Callable] = {}
 
 _APP_MODULES = [
-    "resnet_50", "linear_algebra",
+    "resnet_50", "linear_algebra", "fft",
     "blur", "unsharp", "gaussian_blur", "harris", "hist", "iir_blur",
     "max_filter", "interpolate", "local_laplacian", "bilateral_grid",
     "camera_pipe", "nl_means", "stencil_chain", "conv_layer",

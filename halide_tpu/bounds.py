@@ -194,6 +194,16 @@ class BoundsEngine:
                 return _mul(a, Interval(2 ** b.lo, 2 ** b.hi))
             if e.op == "shr" and b.is_bounded() and b.lo >= 0:
                 return _div(a, Interval(2 ** b.lo, 2 ** b.hi), False)
+            if e.op in ("bitor", "bitxor", "bitand") and a.is_bounded() \
+                    and b.is_bounded() and a.lo >= 0 and b.lo >= 0:
+                # nonnegative bitwise ops stay below the next power of two
+                if e.op == "bitand":
+                    return Interval(0, min(a.hi, b.hi))
+                hi = max(a.hi, b.hi)
+                p = 1
+                while p <= hi:
+                    p <<= 1
+                return Interval(0, p - 1)
             return self._type_range(e)
         if isinstance(e, E.Not):
             return Interval(0, 1)

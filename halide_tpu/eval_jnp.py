@@ -617,6 +617,50 @@ def _affine_read(P, real: Realized, args, ctx: Ctx):
             raise PallasUnsupported(
                 "non-affine access with traced tile origin")
         return _dyn_slice_read(P, real, args, ctx)
+    if not sliceable:
+        # one small data-dependent dim among otherwise-affine dims: lower
+        # the gather to a chain of selects over slices (the trilinear-slice
+        # / pyramid-level-select pattern; TPU gathers are slow)
+        bad = []
+        for j, v in enumerate(args):
+            av = v.aval if isinstance(v, ClampedAVal) else v
+            if isinstance(av, (AVal, DivAVal)):
+                continue
+            bad.append(j)
+        nd2 = len(P.shape)
+        if len(bad) == 1 and P.shape[nd2 - 1 - bad[0]] <= 32:
+            j = bad[0]
+            size = P.shape[nd2 - 1 - j]
+            # remaining dims must not collide
+            others = []
+            ok = True
+            for j2, v in enumerate(args):
+                if j2 == j:
+                    continue
+                av = v.aval if isinstance(v, ClampedAVal) else v
+                if isinstance(av, AVal):
+                    sv = av.single_var()
+                    if sv is None and not av.is_const():
+                        ok = False
+                    elif sv is not None:
+                        others.append(sv)
+                elif isinstance(av, DivAVal):
+                    others.append(av.var)
+            if ok and len(set(others)) == len(others):
+                idx = jnp.clip(jnp.asarray(materialize(args[j], ctx))
+                               - real.mins[j], 0, size - 1)
+                out = None
+                for k in range(size):
+                    sub = list(args)
+                    sub[j] = AVal({}, real.mins[j] + k)
+                    vslice = _affine_read(P, real, sub, ctx)
+                    if out is None:
+                        out = jnp.broadcast_to(
+                            vslice, jnp.broadcast_shapes(
+                                jnp.shape(vslice), jnp.shape(idx)))
+                    else:
+                        out = jnp.where(idx == k, vslice, out)
+                return out
     if sliceable and has_div:
         # repeat the divided producer dims so the access becomes stride-1
         nd2 = len(P.shape)

@@ -159,3 +159,11 @@ def test_saxpy():
 
 def test_sdot():
     check("sdot", N=4096)
+
+
+def test_bgu():
+    check("bgu", width=128, height=96)
+
+
+def test_fft():
+    check("fft", width=64, height=32)
