@@ -518,9 +518,37 @@ class Pipeline:
 
     def realize(self, sizes=None, target=None, dst=None, jit: bool = True,
                 device=None):
-        fn, input_arrays, regions, preset_args = self._prepare(
-            sizes, dst, jit)
-        arrays = fn(tuple(input_arrays), preset_args)
+        from .target import Target, get_jit_target_from_environment
+        if target is None:
+            target = get_jit_target_from_environment()
+        elif isinstance(target, str):
+            target = Target(target)
+        # target feature wiring (reference: Target.h features + JIT env)
+        tr_installed = False
+        if target.has_feature("trace_all") and self.trace is None:
+            from .trace import Trace
+            g0 = gather_graph(self.outputs)
+            for f in g0.funcs:
+                f._fschedule.trace_realizations = True
+                f._fschedule.trace_stores = True
+            self.trace = Trace()
+            tr_installed = True
+        no_pallas = target.has_feature("no_pallas") or             target.has_feature("interpret")
+        try:
+            if no_pallas:
+                from .ops import pallas_group as _pg
+                _orig = _pg.try_pallas_group
+                _pg.try_pallas_group = lambda *a, **k: None
+            fn, input_arrays, regions, preset_args = self._prepare(
+                sizes, dst, jit)
+            arrays = fn(tuple(input_arrays), preset_args)
+        finally:
+            if no_pallas:
+                _pg.try_pallas_group = _orig
+            if tr_installed:
+                self.trace = None
+        if target.has_feature("profile"):
+            print(self.profile(sizes, dst))
         return self._package(arrays, regions, sizes, dst)
 
     def _build_fn(self, g: _Graph, regions, input_objs, param_vals,

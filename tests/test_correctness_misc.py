@@ -163,3 +163,13 @@ def test_parallel_rvar_requires_proof():
     g[x] += r.x
     g.update().atomic().parallel(r.x)   # fine with atomic()
     np.testing.assert_array_equal(g.realize([2]).to_numpy(), [45, 45])
+
+
+def test_target_features_wire_into_realize():
+    x = hl.Var("x")
+    f = hl.Func("tgt_f")
+    f[x] = x * 2
+    out = f.realize([4], target="cpu-generic-no_pallas").to_numpy()
+    np.testing.assert_array_equal(out, [0, 2, 4, 6])
+    t = hl.Target("tpu-v5e-profile-trace_all")
+    assert t.has_feature("profile") and t.generation == "v5e"
