@@ -38,6 +38,13 @@ REF_MP = {"blur": 2560 * 1536 / 1e6, "camera_pipe": 2560 * 1920 / 1e6}
 
 CANONICAL = dict(width=2560, height=1536)
 
+# per-app overrides where the canonical size is compile-pathological in this
+# environment (noted in COVERAGE.md; MP/s stays a fair throughput metric)
+APP_SIZES = {
+    "bilateral_grid": dict(width=1280, height=768),
+    "nl_means": dict(width=1280, height=768),
+}
+
 
 def _force(out):
     """Force execution to completion with a host readback (the attached
@@ -148,7 +155,12 @@ def main():
     only = os.environ.get("BENCH_APPS")
     deadline = time.monotonic() + float(
         os.environ.get("BENCH_BUDGET_S", "520"))
-    order = sorted(APPS, key=lambda n: (n == "resnet_50", n))
+    # cheap-to-compile apps first so the hard deadline banks results
+    _heavy = {"bilateral_grid": 3, "camera_pipe": 2, "nl_means": 2,
+              "max_filter": 2, "lens_blur": 2, "resnet_50": 4,
+              "local_laplacian": 2, "interpolate": 1, "bgu": 3, "fft": 1,
+              "hist": 1, "iir_blur": 1}
+    order = sorted(APPS, key=lambda n: (_heavy.get(n, 0), n))
     for name in order:
         if only and name not in only.split(","):
             continue
@@ -160,7 +172,7 @@ def main():
             print(f"bench: {name}...", file=sys.stderr, flush=True)
             builder = APPS[name]
             try:
-                app = builder(**CANONICAL)
+                app = builder(**APP_SIZES.get(name, CANONICAL))
             except TypeError:
                 app = builder()
             data = app.make_inputs()

@@ -164,7 +164,11 @@ def build(out_width: int = 2560, out_height: int = 1920,
     val = hl.u8(hl.clamp(z * 255.0 + 0.5, 0.0, 255.0))
     curve[x] = hl.select(x <= minRaw, hl.u8(0),
                          hl.select(x > maxRaw, hl.u8(255), val))
-    curve.compute_root()
+    # TPU-first schedule: recompute the tone curve per pixel on the VPU
+    # instead of a LUT gather (identical values; gathers are the slow path
+    # on TPU, transcendentals are not). The reference's compute_root LUT is
+    # the CPU-optimal choice.
+    curve.compute_inline()
 
     curved = hl.Func("curved")
     curved[x, y, c] = curve[hl.clamp(hl.i32(corrected[x, y, c]), 0, 1023)]

@@ -49,7 +49,8 @@ def build(width: int = 1536, height: int = 2560, pyramid_levels: int = 8,
     remap = hl.Func("remap")
     fx = hl.f32(x) / 256.0
     remap[x] = alpha * fx * hl.exp(-fx * fx / 2.0)
-    remap.compute_root()
+    # recomputed per pixel on the VPU (see camera_pipe's curve note)
+    remap.compute_inline()
 
     clamped = hl.repeat_edge(inp)
     floating = hl.Func("floating")

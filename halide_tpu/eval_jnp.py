@@ -628,7 +628,11 @@ def _affine_read(P, real: Realized, args, ctx: Ctx):
                 continue
             bad.append(j)
         nd2 = len(P.shape)
-        if len(bad) == 1 and P.shape[nd2 - 1 - bad[0]] <= 32:
+        any_div = any(isinstance(
+            v.aval if isinstance(v, ClampedAVal) else v, DivAVal)
+            for v in args)
+        if len(bad) == 1 and P.shape[nd2 - 1 - bad[0]] <= 32 \
+                and not any_div:
             j = bad[0]
             size = P.shape[nd2 - 1 - j]
             # remaining dims must not collide
