@@ -71,30 +71,35 @@ def bench_one(app, min_delta_s=0.1, max_n=128, chain_k=24):
         app.output_sizes, jit=False)
     args = tuple(jax.device_put(a) for a in input_arrays)
 
-    def chained(k):
-        @jax.jit
-        def run(args):
-            def body(i, tok):
-                a0 = args[0] + jnp.asarray(tok, args[0].dtype)
-                out = fn((a0,) + args[1:], presets)
-                leaf = jax.tree_util.tree_leaves(out)[0]
-                return (leaf.reshape(-1)[0] * 0).astype(jnp.int32)
-            return jax.lax.fori_loop(0, k, body, jnp.int32(0),
-                                     unroll=False)
-        return run
+    @jax.jit
+    def chain_run(args, k):
+        def body(i, tok):
+            # inject an analysis-resistant (but numerically inert) data
+            # dependency so XLA cannot elide iterations: the branch is
+            # taken only if the previous output's first element bitcasts
+            # to INT_MIN
+            bump = jnp.where(tok == jnp.int32(-2147483648),
+                             jnp.ones((), args[0].dtype),
+                             jnp.zeros((), args[0].dtype))
+            a0 = args[0] + bump
+            out = fn((a0,) + args[1:], presets)
+            leaf = jax.tree_util.tree_leaves(out)[0].reshape(-1)[0]
+            if leaf.dtype.itemsize == 4:
+                return jax.lax.bitcast_convert_type(leaf, jnp.int32)
+            return leaf.astype(jnp.int32)
+        # k is a traced bound: one compile serves both run lengths
+        return jax.lax.fori_loop(0, k, body, jnp.int32(0), unroll=False)
 
     try:
-        r1 = chained(1)
-        rk = chained(chain_k)
-        _force(r1(args))
-        _force(rk(args))
+        _force(chain_run(args, jnp.int32(1)))
+        _force(chain_run(args, jnp.int32(chain_k)))
         best = math.inf
         for _ in range(3):
             t0 = time.perf_counter()
-            _force(r1(args))
+            _force(chain_run(args, jnp.int32(1)))
             t1 = time.perf_counter() - t0
             t0 = time.perf_counter()
-            _force(rk(args))
+            _force(chain_run(args, jnp.int32(chain_k)))
             tk = time.perf_counter() - t0
             best = min(best, (tk - t1) / (chain_k - 1))
         if best > 0:
@@ -124,9 +129,32 @@ def bench_one(app, min_delta_s=0.1, max_n=128, chain_k=24):
     return max((t2 - t1) / n, 1e-9)
 
 
+def _emit(results, ratios, errors, device=""):
+    if not results:
+        print(json.dumps({"metric": "apps_geomean_mp_per_s", "value": 0.0,
+                          "unit": "MP/s", "vs_baseline": 0.0,
+                          "errors": errors}), flush=True)
+        return
+    vals = [r["mp_per_s"] for r in results.values()]
+    geo = math.exp(sum(math.log(max(v, 1e-9)) for v in vals) / len(vals))
+    vs = (math.exp(sum(math.log(max(r, 1e-9)) for r in ratios)
+                   / len(ratios)) if ratios else 0.0)
+    print(json.dumps({
+        "metric": "apps_geomean_mp_per_s",
+        "value": round(geo, 2),
+        "unit": "MP/s",
+        "vs_baseline": round(vs, 3),
+        "device": device,
+        "apps": {k: {kk: round(vv, 3) for kk, vv in v.items()}
+                 for k, v in results.items()},
+        "errors": errors,
+    }), flush=True)
+
+
 def main():
     import os
     import signal
+    import threading
     import jax
 
     class _HardDeadline(Exception):
@@ -137,7 +165,7 @@ def main():
 
     try:
         signal.signal(signal.SIGALRM, _on_alarm)
-        signal.alarm(int(os.environ.get("BENCH_HARD_S", "540")))
+        signal.alarm(int(os.environ.get("BENCH_HARD_S", "490")))
     except Exception:
         pass
     try:
@@ -154,7 +182,21 @@ def main():
     errors = {}
     only = os.environ.get("BENCH_APPS")
     deadline = time.monotonic() + float(
-        os.environ.get("BENCH_BUDGET_S", "520"))
+        os.environ.get("BENCH_BUDGET_S", "430"))
+
+    # a blocked remote compile cannot be interrupted by signals; the
+    # watchdog thread emits whatever has been measured and exits hard
+    done_flag = {"done": False}
+
+    def watchdog():
+        import time as _t
+        _t.sleep(float(os.environ.get("BENCH_WATCHDOG_S", "515")))
+        if not done_flag["done"]:
+            errors["__watchdog__"] = "hard exit during a blocked compile"
+            _emit(results, ratios, errors, "watchdog")
+            os._exit(0)
+
+    threading.Thread(target=watchdog, daemon=True).start()
     # cheap-to-compile apps first so the hard deadline banks results
     _heavy = {"bilateral_grid": 3, "camera_pipe": 2, "nl_means": 2,
               "max_filter": 2, "lens_blur": 2, "resnet_50": 4,
@@ -192,27 +234,9 @@ def main():
             break
         except Exception as e:  # keep the harness robust; report what ran
             errors[name] = f"{type(e).__name__}: {e}"
-    if not results:
-        print(json.dumps({"metric": "apps_geomean_mp_per_s", "value": 0.0,
-                          "unit": "MP/s", "vs_baseline": 0.0,
-                          "errors": errors}))
-        return 1
-    vals = [r["mp_per_s"] for r in results.values()]
-    geo = math.exp(sum(math.log(v) for v in vals) / len(vals))
-    vs = (math.exp(sum(math.log(r) for r in ratios) / len(ratios))
-          if ratios else 0.0)
-    line = {
-        "metric": "apps_geomean_mp_per_s",
-        "value": round(geo, 2),
-        "unit": "MP/s",
-        "vs_baseline": round(vs, 3),
-        "device": str(jax.devices()[0]),
-        "apps": {k: {kk: round(vv, 3) for kk, vv in v.items()}
-                 for k, v in results.items()},
-        "errors": errors,
-    }
-    print(json.dumps(line))
-    return 0
+    done_flag["done"] = True
+    _emit(results, ratios, errors, str(jax.devices()[0]))
+    return 0 if results else 1
 
 
 if __name__ == "__main__":
