@@ -42,6 +42,7 @@ CANONICAL = dict(width=2560, height=1536)
 # environment (noted in COVERAGE.md; MP/s stays a fair throughput metric)
 APP_SIZES = {
     "bilateral_grid": dict(width=1280, height=768),
+    "fft": dict(width=256, height=256),
     "nl_means": dict(width=1280, height=768),
 }
 
@@ -83,10 +84,15 @@ def bench_one(app, min_delta_s=0.1, max_n=128, chain_k=24):
                              jnp.zeros((), args[0].dtype))
             a0 = args[0] + bump
             out = fn((a0,) + args[1:], presets)
-            leaf = jax.tree_util.tree_leaves(out)[0].reshape(-1)[0]
-            if leaf.dtype.itemsize == 4:
-                return jax.lax.bitcast_convert_type(leaf, jnp.int32)
-            return leaf.astype(jnp.int32)
+            # the token must depend on EVERY output element: a full
+            # reduction per leaf (fuses into the producer's epilogue).
+            # Deriving it from one element lets XLA dead-code-eliminate
+            # everything outside that element's dependency cone -- local
+            # stencil pipelines then "run" in microseconds.
+            acc = jnp.float32(0)
+            for leaf in jax.tree_util.tree_leaves(out):
+                acc = acc + jnp.sum(leaf).astype(jnp.float32)
+            return jax.lax.bitcast_convert_type(acc, jnp.int32)
         # k is a traced bound: one compile serves both run lengths
         return jax.lax.fori_loop(0, k, body, jnp.int32(0), unroll=False)
 

@@ -81,18 +81,27 @@ def build(width: int = 1536, height: int = 2560, scale_factor: float = 0.5,
     beginy = hl.clamp(hl.i32(hl.ceil(sourcey - kernel_radius)),
                       0, height - kernel_taps)
 
+    # TPU-first schedule: instead of per-pixel windowed gathers
+    # (inp[x, rk + beginy, c] with a data-dependent beginy -> XLA gather,
+    # slow on TPU), materialize the FULL (out x in) kernel matrix on the
+    # VPU -- it is banded by the same window predicate, so values match the
+    # reference's windowed form exactly -- and let the tap reduction become
+    # a dense MXU contraction (try_einsum_reduce).
     unk_x = hl.Func("unnormalized_kernel_x")
-    unk_x[x, k] = _kernel_expr(interpolation,
-                               (k + beginx - sourcex) * kernel_scaling)
+    unk_x[x, k] = hl.select(
+        hl.logical_and(k >= beginx, k < beginx + kernel_taps),
+        _kernel_expr(interpolation, (k - sourcex) * kernel_scaling), 0.0)
     unk_y = hl.Func("unnormalized_kernel_y")
-    unk_y[y, k] = _kernel_expr(interpolation,
-                               (k + beginy - sourcey) * kernel_scaling)
+    unk_y[y, k] = hl.select(
+        hl.logical_and(k >= beginy, k < beginy + kernel_taps),
+        _kernel_expr(interpolation, (k - sourcey) * kernel_scaling), 0.0)
 
-    r = hl.RDom(0, kernel_taps, "rk")
+    rx_full = hl.RDom(0, width, "rkx")
+    ry_full = hl.RDom(0, height, "rky")
     ks_x = hl.Func("kernel_sum_x")
-    ks_x[x] = hl.sum(unk_x[x, r.x])
+    ks_x[x] = hl.sum(unk_x[x, rx_full.x])
     ks_y = hl.Func("kernel_sum_y")
-    ks_y[y] = hl.sum(unk_y[y, r.x])
+    ks_y[y] = hl.sum(unk_y[y, ry_full.x])
     kernel_x = hl.Func("kernel_x")
     kernel_x[x, k] = unk_x[x, k] / ks_x[x]
     kernel_y = hl.Func("kernel_y")
@@ -101,11 +110,12 @@ def build(width: int = 1536, height: int = 2560, scale_factor: float = 0.5,
     kernel_y.compute_root()
 
     resized_y = hl.Func("resized_y")
-    resized_y[x, y, c] = hl.sum(kernel_y[y, r.x] * inp[x, r.x + beginy, c])
+    resized_y[x, y, c] = hl.sum(kernel_y[y, ry_full.x]
+                                * inp[x, ry_full.x, c])
     resized_y.compute_root()
     resized_x = hl.Func("resized_x")
-    resized_x[x, y, c] = hl.sum(kernel_x[x, r.x]
-                                * resized_y[r.x + beginx, y, c])
+    resized_x[x, y, c] = hl.sum(kernel_x[x, rx_full.x]
+                                * resized_y[rx_full.x, y, c])
 
     output = hl.Func("resize_out")
     output[x, y, c] = hl.clamp(resized_x[x, y, c], 0.0, 1.0)

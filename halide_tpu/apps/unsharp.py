@@ -29,6 +29,9 @@ def build(width: int = 1536, height: int = 2560) -> App:
     gray = hl.Func("gray")
     gray[x, y] = (0.299 * bounded[x, y, 0] + 0.587 * bounded[x, y, 1]
                   + 0.114 * bounded[x, y, 2])
+    # stage the reused producers (the reference's CPU schedule stages these
+    # per strip; inline would recompute gray ~49x through the blur taps)
+    gray.compute_root()
 
     blur_y = hl.Func("blur_y")
     blur_y[x, y] = (kernel[0] * gray[x, y]
@@ -41,6 +44,8 @@ def build(width: int = 1536, height: int = 2560) -> App:
                     + kernel[1] * (blur_y[x - 1, y] + blur_y[x + 1, y])
                     + kernel[2] * (blur_y[x - 2, y] + blur_y[x + 2, y])
                     + kernel[3] * (blur_y[x - 3, y] + blur_y[x + 3, y]))
+
+    blur_y.compute_root()
 
     sharpen = hl.Func("sharpen")
     sharpen[x, y] = 2.0 * gray[x, y] - blur_x[x, y]

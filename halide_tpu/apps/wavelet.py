@@ -52,6 +52,11 @@ def build(width: int = 1536, height: int = 2560) -> App:
     fwd = haar_x(inp)
     inv = inverse_haar_x(fwd)
     daub = daubechies_x(inp)
+    # materialize the transforms: inline composition of clamp with the
+    # stride-2 reads would fall off the slice fast path into gathers
+    fwd.compute_root()
+    inv.compute_root()
+    daub.compute_root()
     x, y, c = hl.Var("x"), hl.Var("y"), hl.Var("c")
     out = hl.Func("wavelet_out")
     # roundtrip error + daubechies detail band, packed per channel

@@ -631,6 +631,10 @@ def _affine_read(P, real: Realized, args, ctx: Ctx):
         any_div = any(isinstance(
             v.aval if isinstance(v, ClampedAVal) else v, DivAVal)
             for v in args)
+        if len(bad) == 1 and P.shape[nd2 - 1 - bad[0]] <= _LUT_ONEHOT_MAX:
+            r = _onehot_lut_read(P, real, args, bad[0], ctx)
+            if r is not None:
+                return r
         if len(bad) == 1 and P.shape[nd2 - 1 - bad[0]] <= 32 \
                 and not any_div:
             j = bad[0]
@@ -944,6 +948,102 @@ def _dyn_slice_read(P, real: Realized, args, ctx: Ctx):
     return _place_axes(Q, out_axes, nd, ctx)
 
 
+_LUT_ONEHOT_MAX = 1024
+
+
+def _onehot_lut_read(P, real: Realized, args, j, ctx: Ctx):
+    """Small-table data-dependent read -> one-hot contraction.
+
+    TPU gathers serialize; a (pixels x N) one-hot times (N,) table is a
+    dense MXU/VPU contraction and exact (each row selects one value). Used
+    for LUT applications (hist equalize cdf, tone curves kept as tables;
+    reference: apps/hist/filter.cpp equalize stage). Requirements: arg `j`
+    is the only data-dependent dim, its extent <= _LUT_ONEHOT_MAX, every
+    other arg is a static const or an identity var over a grid axis, and
+    the index does not vary along those axes. Returns None when they don't
+    hold (caller falls through to select-chain / gather)."""
+    nd2 = len(P.shape)
+    size = P.shape[nd2 - 1 - j]
+    if not _is_static(real.mins[j]):
+        return None
+    sel = []   # per pipeline dim: ("k",) | ("const", off) | ("axis", ax, lo)
+    for j2, v in enumerate(args):
+        if j2 == j:
+            sel.append(("k",))
+            continue
+        if isinstance(v, (ClampedAVal, DivAVal)) or not isinstance(v, AVal):
+            return None
+        if not _is_static(v.const) or not _is_static(real.mins[j2]):
+            return None
+        if v.is_const():
+            off = int(v.const) - int(real.mins[j2])
+            if off < 0 or off >= P.shape[nd2 - 1 - j2]:
+                return None
+            sel.append(("const", off))
+            continue
+        sv = v.single_var()
+        if sv is None or v.coeffs[sv] != 1:
+            return None
+        ax = ctx.axes.get(sv)
+        if ax is None or not _is_static(ax.min):
+            return None
+        lo = int(v.const) + int(off_resolve(ax.min, ctx)) \
+            - int(real.mins[j2])
+        if lo < 0 or lo + ax.extent > P.shape[nd2 - 1 - j2]:
+            return None
+        sel.append(("axis", ax, lo))
+    idx = jnp.asarray(materialize(args[j], ctx))
+    idx = jnp.clip(idx - int(real.mins[j]), 0, size - 1)
+    ng = ctx.ndim
+    if idx.ndim < ng:
+        idx = idx.reshape((1,) * (ng - idx.ndim) + idx.shape)
+    # index must be constant along every axis the table varies over
+    # (otherwise the contraction would need batching)
+    for st in sel:
+        if st[0] == "axis" and idx.shape[ng - 1 - st[1].rpos] != 1:
+            return None
+    indexer = []
+    tbl_axes = []   # for each kept tbl axis (np order): "k" | grid np pos
+    for j2 in reversed(range(len(args))):   # pipeline -> np order
+        st = sel[j2]
+        if st[0] == "k":
+            indexer.append(slice(None))
+            tbl_axes.append("k")
+        elif st[0] == "const":
+            indexer.append(st[1])
+        else:
+            indexer.append(slice(st[2], st[2] + st[1].extent))
+            tbl_axes.append(ng - 1 - st[1].rpos)
+    tbl = P[tuple(indexer)]
+    tbl = jnp.moveaxis(tbl, tbl_axes.index("k"), -1)
+    grid_axes = [a for a in tbl_axes if a != "k"]
+    oh = jax.nn.one_hot(idx, size, dtype=jnp.float32)
+    hi_p = jax.lax.Precision.HIGHEST   # exact f32 products, not bf16 passes
+    if tbl.dtype.kind in "fc" or jnp.dtype(tbl.dtype).itemsize <= 2:
+        # one nonzero term per row: exact in f32 for any f32/<=16-bit table
+        res = jnp.tensordot(oh, tbl.astype(jnp.float32), axes=[[-1], [-1]],
+                            precision=hi_p)
+        res = res.astype(tbl.dtype)
+    else:
+        # wide integer tables: integer matmuls scalarize on TPU, so split
+        # into two 16-bit halves, contract each exactly in f32 (values
+        # < 2^16 < 2^24), and recombine in the integer domain
+        lo16 = (tbl & 0xFFFF).astype(jnp.float32)
+        hi16 = ((tbl >> 16) & 0xFFFF).astype(jnp.float32)
+        lo = jnp.tensordot(oh, lo16, axes=[[-1], [-1]], precision=hi_p)
+        hi = jnp.tensordot(oh, hi16, axes=[[-1], [-1]], precision=hi_p)
+        # int32 wraparound on (hi << 16) reconstructs the original bits
+        res = (lo.astype(jnp.int32) + (hi.astype(jnp.int32) << 16)) \
+            .astype(tbl.dtype)
+    # fold the trailing table axes back into their grid slots
+    for i in range(len(grid_axes) - 1, -1, -1):
+        src = ng + i
+        p = grid_axes[i]
+        res = jnp.squeeze(res, axis=p)     # the size-1 slot left by idx
+        res = jnp.moveaxis(res, src - 1, p)
+    return res
+
+
 def _gather_read(P, real: Realized, args, ctx: Ctx):
     nd = P.ndim
     idxs = []
@@ -1201,7 +1301,8 @@ def try_conv_reduce(e: Expr, ctx: Ctx, red_axes_names):
         lhs.astype(jnp.float32), rhs.astype(jnp.float32),
         window_strides=tuple(s[2] for s in spatial),
         padding="VALID", dimension_numbers=dn,
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
     # out: [N, S..., O] -> place into ctx
     if nb != 1:
         out = out.reshape(tuple(bshape) + out.shape[1:])
@@ -1264,7 +1365,11 @@ def try_einsum_reduce(e: Expr, ctx: Ctx, red_np_axes):
     else:
         acc = jnp.int32 if e.dtype.bits <= 32 else jnp.int64
     try:
-        r = jnp.einsum(spec, *ops, preferred_element_type=acc)
+        # HIGHEST: f32 operands get exact multi-pass MXU f32 (the TPU
+        # default is bf16 passes -- wrong for f32 pipelines); bf16
+        # operands are a single pass either way
+        r = jnp.einsum(spec, *ops, preferred_element_type=acc,
+                       precision=jax.lax.Precision.HIGHEST)
     except Exception:
         return None
     shape = [1] * ctx.ndim

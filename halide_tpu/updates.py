@@ -552,6 +552,111 @@ def _scatter_update(func, d, current, base_ctx: Ctx, rdom_axes,
                             ops, mask)
 
 
+def _slab_update(func, d, current, base_ctx, inner, rdom_axes, kinds, ops,
+                 mask):
+    """All LHS dims are identity axes, constants, or full rvar spans: the
+    write region is a box -> evaluate the block and dynamic_update_slice.
+    rvar axes not consumed by the LHS ("free") are reduced per the combine
+    op; a masked or `set` update with free rvars stays on the scatter path
+    (duplicate writes are order-sensitive)."""
+    init_args = func._defs[0].args
+    nd = current[0].ndim
+    spanned = {k[1].name for k in kinds if k is not None and k[0] == "rspan"}
+    free_rvars = [a for a in rdom_axes if a.name not in spanned]
+    if free_rvars and (mask is not None or any(o[0] == "set" for o in ops)):
+        return None
+
+    # target box: offsets + sizes per np axis
+    offsets = [0] * nd
+    sizes = list(current[0].shape)
+    for j, k in enumerate(kinds):
+        npax = nd - 1 - j
+        ax_min = base_ctx.axes[init_args[j].name].min
+        if k[0] == "axis":
+            continue
+        if k[0] == "const":
+            offsets[npax] = k[1] - ax_min
+            sizes[npax] = 1
+        else:
+            _, rax, stride, c = k
+            lo = c + rax.min if stride == 1 else c - (rax.min + rax.extent - 1)
+            offsets[npax] = lo - ax_min
+            sizes[npax] = rax.extent
+    if any(o < 0 or o + s > cs
+           for o, s, cs in zip(offsets, sizes, current[0].shape)):
+        return None   # box exceeds the realization: let scatter drop OOB
+
+    def layout(x, reduce_op=None, identity=None):
+        """inner-ctx value -> block of shape `sizes` (np order)."""
+        # broadcast only over rvar axes + identity-dim base axes; base axes
+        # of const/rspan dims must stay size 1 (their pure vars cannot
+        # appear in the update)
+        layout_axes = list(rdom_axes) + [
+            base_ctx.axes[init_args[j].name]
+            for j, k2 in enumerate(kinds) if k2[0] == "axis"]
+        tgt = full_shape(inner, layout_axes)
+        x = jnp.broadcast_to(x, tgt)
+        if free_rvars:
+            red = tuple(inner.ndim - 1 - a.rpos for a in free_rvars)
+            fn = {"add": jnp.sum, "sub": jnp.sum, "mul": jnp.prod,
+                  "min": jnp.min, "max": jnp.max}[reduce_op]
+            x = fn(x, axis=red, keepdims=True)
+        # permutation: output base axis p takes either the base part axis or
+        # the spanned rvar axis
+        perm = []
+        flips = []
+        for p in range(nd):
+            j = nd - 1 - p   # pipeline dim
+            k = kinds[j]
+            if k[0] == "rspan":
+                _, rax, stride, _c = k
+                perm.append(inner.ndim - 1 - rax.rpos)
+                if stride == -1:
+                    flips.append(p)
+            else:
+                perm.append(inner.ndim - nd + p)
+        unused = [a for a in range(inner.ndim) if a not in perm]
+        x = jnp.transpose(x, unused + perm)
+        x = x.reshape(tuple(x.shape[len(unused):]))
+        if flips:
+            x = jnp.flip(x, axis=tuple(flips))
+        # const dims carry the full box axis (size box-extent or 1): crop to 1
+        idx = tuple(
+            slice(0, 1) if sizes[p] == 1 and x.shape[p] != 1 else slice(None)
+            for p in range(nd))
+        return jnp.broadcast_to(x[idx], tuple(sizes))
+
+    out = []
+    for i, (op, g) in enumerate(ops):
+        cur = current[i]
+        garr = eval_array(g, inner)
+        if mask is not None and op != "set":
+            ident = jnp.array(_identity_for(op, d.values[i].dtype),
+                              dtype=jnp.asarray(garr).dtype)
+            garr = jnp.where(mask, garr, ident)
+        block = layout(garr, reduce_op=op if op != "set" else None)
+        block = block.astype(cur.dtype)
+        sub = jax.lax.dynamic_slice(cur, offsets, sizes)
+        if op == "set":
+            if mask is not None:
+                mblock = layout(mask)
+                nv = jnp.where(mblock, block, sub)
+            else:
+                nv = block
+        elif op == "add":
+            nv = sub + block
+        elif op == "sub":
+            nv = sub - block
+        elif op == "mul":
+            nv = sub * block
+        elif op == "min":
+            nv = jnp.minimum(sub, block)
+        else:
+            nv = jnp.maximum(sub, block)
+        out.append(jax.lax.dynamic_update_slice(cur, nv, offsets))
+    return out
+
+
 _ONEHOT_MAX_RDOM = 128
 
 

@@ -232,3 +232,33 @@ def test_product_update():
     f[x] = 1
     f[x] *= r.x
     np.testing.assert_array_equal(f.realize([2]).to_numpy(), [120, 120])
+
+
+def test_slab_update_paths():
+    """Box-region updates (const dims, rvar spans, reversed spans) lower to
+    dynamic_update_slice (updates._slab_update); regression for the path
+    only reached at full bench sizes."""
+    import numpy as np
+    import halide_tpu as hl
+    x, y = hl.Var("x"), hl.Var("y")
+    f = hl.Func("slab_f")
+    f[x, y] = x + 10 * y
+    f[3, y] = -1                      # const dim + axis
+    r = hl.RDom([(2, 4)], "r")
+    f[r.x, 5] += 100                  # rvar span + const
+    g = hl.Func("slab_g")
+    g[x, y] = 0
+    r2 = hl.RDom([(0, 8), (0, 6)], "r2")
+    g[7 - r2.x, r2.y] = r2.x + r2.y   # reversed span x span
+    fa = np.asarray(hl.Pipeline(f).realize([8, 8]))
+    ref = (np.arange(8)[None, :] * 0 + np.arange(8)[None, :]
+           + 10 * np.arange(8)[:, None]).astype(np.int32)
+    ref[:, 3] = -1
+    ref[5, 2:6] += 100
+    assert (fa == ref).all()
+    ga = np.asarray(hl.Pipeline(g).realize([8, 6]))
+    gref = np.zeros((6, 8), np.int32)
+    for rx in range(8):
+        for ry in range(6):
+            gref[ry, 7 - rx] = rx + ry
+    assert (ga == gref).all()
