@@ -717,12 +717,26 @@ def _merge_shape(shape, ctx_ndim):
 
 
 def _slice_read(P, real: Realized, args, ctx: Ctx):
+    """Affine (possibly clamped) per-dim access as pure slices.
+
+    Three phases per np axis, all static, all XLA-fusable:
+      1. window slice: the clamped index span [lo, hi] (producer edge-padded
+         first iff the span exceeds the realization -- boundary semantics);
+      2. edge-pad the window by the number of raw index positions the clamp
+         truncated at each end, restoring the full raw span [lo_u, hi_u]
+         (Q[u - lo_u] == P[clamp(u, lo, hi)] for EVERY u, any stride);
+      3. one strided slice from 0: positions u(x) = lo_u + |stride| * x.
+    This keeps clamp-composed strided reads (e.g. repeat_edge(f)[2*x + 1])
+    off the per-pixel gather path -- TPU gathers serialize, while strided
+    slices are bandwidth-speed."""
     nd = P.ndim
-    # per pipeline-dim slicing on the corresponding np axis
     out_axes: List[Optional[Axis]] = []   # per np axis of sliced result
-    starts, limits, strides = [0] * nd, list(P.shape), [1] * nd
     flips: List[int] = []
-    pads = [(0, 0)] * nd
+    prod_pads = [(0, 0)] * nd             # phase-1 producer safety pad
+    win_lo, win_hi = [0] * nd, [s - 1 for s in P.shape]   # phase-1, inclusive
+    clamp_pads = [(0, 0)] * nd            # phase-2
+    sstrides = [1] * nd                   # phase-3
+    scounts = list(P.shape)               # phase-3 element counts
     for j, v in enumerate(args):          # j = pipeline dim
         npax = nd - 1 - j
         lo_clip, hi_clip = None, None
@@ -732,23 +746,26 @@ def _slice_read(P, real: Realized, args, ctx: Ctx):
             v = v.aval
         sv = v.single_var()
         if sv is None:
-            lo = hi = v.const
+            lo_u = hi_u = v.const
             stride = 0
+            ext = 1
+            ax_out = None
         else:
-            ax = ctx.axes[sv]
+            ax_out = ctx.axes[sv]
             stride = v.coeffs[sv]
-            a0 = v.const + stride * ax.min
-            a1 = v.const + stride * (ax.min + ax.extent - 1)
-            lo, hi = (a0, a1) if stride > 0 else (a1, a0)
-        # apply clamp: the index sequence is monotone; clamping truncates the
-        # ends, realized by edge-padding the producer axis
-        size = P.shape[npax]
+            a0 = v.const + stride * ax_out.min
+            a1 = v.const + stride * (ax_out.min + ax_out.extent - 1)
+            lo_u, hi_u = (a0, a1) if stride > 0 else (a1, a0)
+            ext = ax_out.extent
+        # the clamp truncates the (monotone) index span's ends
+        lo, hi = lo_u, hi_u
         if lo_clip is not None:
             lo = max(lo, lo_clip)
             hi = max(hi, lo_clip)
         if hi_clip is not None:
             lo = min(lo, hi_clip)
             hi = min(hi, hi_clip)
+        size = P.shape[npax]
         lo_idx = lo - real.mins[j]
         hi_idx = hi - real.mins[j]
         pad_lo = max(0, -lo_idx)
@@ -758,63 +775,27 @@ def _slice_read(P, real: Realized, args, ctx: Ctx):
             raise CompileError(
                 f"access to {real.name} out of realized bounds on dim {j}: "
                 f"[{lo}, {hi}] vs min {real.mins[j]} extent {size}")
-        if stride == 0:
-            ext = 1
-            ax_out = None
-        else:
-            ax_out = ctx.axes[sv]
-            ext = ax_out.extent
-        if lo_clip is None and hi_clip is None:
-            starts[npax] = lo_idx
-            limits[npax] = lo_idx + (ext - 1) * abs(stride) + 1
-            strides[npax] = max(1, abs(stride))
-        else:
-            # pad, then slice; index positions clamp into the padded array
-            pads[npax] = (pad_lo, pad_hi)
-            s0 = lo_idx + pad_lo
-            starts[npax] = s0
-            # after clamping, consecutive indices may repeat at the ends; the
-            # simple uniform-stride slice is only valid when |stride| == 1
-            if abs(stride) > 1:
-                return _gather_read(P, real, args, ctx)
-            limits[npax] = s0 + (hi_idx - lo_idx) + 1
-            strides[npax] = 1
-            # widths beyond the clamp range replicate: handle by computing the
-            # clipped region then re-padding with edge to the full extent below
+        if pad_lo or pad_hi:
+            prod_pads[npax] = (pad_lo, pad_hi)
+            lo_idx += pad_lo
+            hi_idx += pad_lo
+        win_lo[npax] = lo_idx
+        win_hi[npax] = hi_idx
+        clamp_pads[npax] = (lo - lo_u, hi_u - hi)
+        sstrides[npax] = max(1, abs(stride))
+        scounts[npax] = ext
         if stride < 0:
             flips.append(npax)
         out_axes.append(ax_out)
 
-    needs_pad = any(p != (0, 0) for p in pads)
-    if needs_pad:
-        P = jnp.pad(P, pads, mode="edge")
-    Q = jax.lax.slice(P, starts, limits, strides)
-    # clamped dims: the slice above covered only the in-range span; replicate
-    # edges to reach each axis' full extent
-    fixups = []
-    for j, v in enumerate(args):
-        npax = nd - 1 - j
-        if isinstance(v, ClampedAVal):
-            av = v.aval
-            sv = av.single_var()
-            if sv is None:
-                continue
-            ax = ctx.axes[sv]
-            stride = av.coeffs[sv]
-            a0 = av.const + stride * ax.min
-            a1 = av.const + stride * (ax.min + ax.extent - 1)
-            lo_u, hi_u = (a0, a1) if stride > 0 else (a1, a0)
-            lo_c = lo_u if v.lo == -math.inf else max(lo_u, int(v.lo))
-            hi_c = hi_u if v.hi == math.inf else min(hi_u, int(v.hi))
-            pre = lo_c - lo_u
-            post = hi_u - hi_c
-            if pre or post:
-                fixups.append((npax, pre, post))
-    if fixups:
-        padspec = [(0, 0)] * nd
-        for npax, pre, post in fixups:
-            padspec[npax] = (pre, post)
-        Q = jnp.pad(Q, padspec, mode="edge")
+    if any(p != (0, 0) for p in prod_pads):
+        P = jnp.pad(P, prod_pads, mode="edge")
+    P = jax.lax.slice(P, win_lo, [h + 1 for h in win_hi])
+    if any(p != (0, 0) for p in clamp_pads):
+        P = jnp.pad(P, clamp_pads, mode="edge")
+    Q = jax.lax.slice(P, [0] * nd,
+                      [(c - 1) * s + 1 for c, s in zip(scounts, sstrides)],
+                      sstrides)
     if flips:
         Q = jnp.flip(Q, axis=tuple(flips))
     # place axes into ctx positions

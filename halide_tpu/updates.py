@@ -450,10 +450,42 @@ def _try_scan(func, d, current, base_ctx: Ctx, rdom_axes):
 
     if lin is not None:
         a_e, b_e = lin
-        a_arr = to_array_layout(eval_array(a_e, inner))
+        a_val = eval_array(a_e, inner)
+        if (mask is None and not isinstance(a_val, jax.core.Tracer)
+                and jnp.size(a_val) == 1
+                and jnp.issubdtype(dtype, jnp.floating)):
+            # constant-coefficient linear recurrence (IIR with static
+            # alpha): Kogge-Stone shift-FMA rounds on ONE array with a
+            # scalar per-round decay d^(2^k) -- half the traffic of the
+            # (a, b) pair scan and no interleave slicing; rounds whose
+            # decay underflows f32 significance are dropped
+            # (reference: apps/iir_blur/iir_blur_generator.cpp:13-33)
+            dconst = float(jnp.reshape(a_val, ()))
+            b_arr = to_array_layout(eval_array(b_e, inner))
+            e = jnp.flip(b_arr, scan_np) if backward else b_arr
+            y = jnp.concatenate([init_vals.astype(dtype), e],
+                                axis=scan_np)
+            L = n + 1
+            k, dk = 1, dconst
+            while k < L and abs(dk) > 1e-12:
+                head = jax.lax.slice_in_dim(y, 0, L - k, axis=scan_np)
+                zshape = list(y.shape)
+                zshape[scan_np] = k
+                sh = jnp.concatenate(
+                    [jnp.zeros(zshape, y.dtype), head], axis=scan_np)
+                y = y + jnp.asarray(dk, y.dtype) * sh
+                k *= 2
+                dk = dk * dk
+            res = jax.lax.slice_in_dim(y, 1, n + 1, axis=scan_np)
+            if backward:
+                res = jnp.flip(res, scan_np)
+            new = jax.lax.dynamic_update_slice_in_dim(
+                cur, res.astype(dtype), arr_lo, axis=scan_np)
+            return [new]
+        a_arr = to_array_layout(a_val)
         b_arr = to_array_layout(eval_array(b_e, inner))
         if mask is not None:
-            m = to_array_layout(_bool_layout(mask, inner) * 1) != 0
+            m = to_array_layout(jnp.asarray(mask).astype(jnp.int32)) != 0
             a_arr = jnp.where(m, a_arr, jnp.zeros_like(a_arr))
             b_arr = jnp.where(m, b_arr, cur_span)
         elems_init = (jnp.zeros_like(init_vals), init_vals)
@@ -468,7 +500,7 @@ def _try_scan(func, d, current, base_ctx: Ctx, rdom_axes):
         fnc = jnp.minimum if op == "min" else jnp.maximum
         g_arr = to_array_layout(eval_array(g, inner))
         if mask is not None:
-            m = to_array_layout(_bool_layout(mask, inner) * 1) != 0
+            m = to_array_layout(jnp.asarray(mask).astype(jnp.int32)) != 0
             seg_reset = jnp.logical_not(m)
             u = jnp.where(m, g_arr, cur_span)
         else:

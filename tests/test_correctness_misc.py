@@ -173,3 +173,25 @@ def test_target_features_wire_into_realize():
     np.testing.assert_array_equal(out, [0, 2, 4, 6])
     t = hl.Target("tpu-v5e-profile-trace_all")
     assert t.has_feature("profile") and t.generation == "v5e"
+
+
+def test_clamped_strided_read():
+    """clamp composed with a non-unit-stride index (repeat_edge over
+    2*x + c, the wavelet/haar pattern) must replicate the CLAMP BOUND
+    value at the ends -- and stay on the slice path, not gather."""
+    import numpy as np
+    import halide_tpu as hl
+    x = hl.Var("x")
+    inp = hl.ImageParam(hl.Int(32), 1, "in1")
+    f = hl.Func("f")
+    f[x] = inp[hl.clamp(2 * x - 3, 1, 8)]
+    g = hl.Func("g")          # negative stride + interior clamp
+    g[x] = inp[hl.clamp(7 - 2 * x, 2, 6)]
+    a = (np.arange(10, dtype=np.int32) * 11 + 5)
+    inp.set(a)
+    fa = np.asarray(hl.Pipeline(f).realize([8]))
+    ref = a[np.clip(2 * np.arange(8) - 3, 1, 8)]
+    assert (fa == ref).all(), (fa, ref)
+    ga = np.asarray(hl.Pipeline(g).realize([8]))
+    gref = a[np.clip(7 - 2 * np.arange(8), 2, 6)]
+    assert (ga == gref).all(), (ga, gref)

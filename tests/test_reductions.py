@@ -262,3 +262,27 @@ def test_slab_update_paths():
         for ry in range(6):
             gref[ry, 7 - rx] = rx + ry
     assert (ga == gref).all()
+
+
+def test_masked_linear_scan():
+    """where()-predicated linear scan: masked-out iterations carry the
+    previous value through (regression: the mask was broadcast over the
+    scanned pure axis and broke the scan layout)."""
+    import numpy as np
+    import halide_tpu as hl
+    x, y = hl.Var("x"), hl.Var("y")
+    inp = hl.ImageParam(hl.Float(32), 2, "pin")
+    a = np.random.default_rng(0).random((16, 32), np.float32)
+    inp.set(a)
+    r = hl.RDom(1, 15)
+    r.where(r.x % 2 == 0)
+    g = hl.Func("gm")
+    g[x, y] = 0.0
+    g[x, 0] = inp[x, 0]
+    g[x, r.x] = 0.5 * g[x, r.x - 1] + inp[x, r.x]
+    got = np.asarray(hl.Pipeline(g).realize([32, 16]))
+    w = np.zeros((16, 32), np.float64)
+    w[0] = a[0]
+    for i in range(1, 16):
+        w[i] = (0.5 * w[i - 1] + a[i]) if i % 2 == 0 else w[i]
+    assert np.abs(got - w).max() < 1e-6
