@@ -108,7 +108,10 @@ def bench_one(app, min_delta_s=0.1, max_n=128, chain_k=24):
             _force(chain_run(args, jnp.int32(chain_k)))
             tk = time.perf_counter() - t0
             best = min(best, (tk - t1) / (chain_k - 1))
-        if best > 0:
+        # sub-microsecond per-frame deltas mean the chain was optimized out
+        # or timing noise swamped the difference: fall back to host-loop
+        # run-length differencing
+        if best > 1e-6:
             return best
     except Exception:
         pass

@@ -29,30 +29,36 @@ def build(width: int = 1536, height: int = 2560, radius: int = 26) -> App:
         vert_log[x, r.x + hl.clamp(1 << (r.y - 1), 0, radius * 2), c,
                  r.y - 1])
 
-    slice_for_radius = hl.Func("slice_for_radius")
-    slice_for_radius[t] = hl.i32(hl.floor(
-        hl.log(2 * t + 1) / math.log(2)))
+    # TPU-first schedule: radius is a compile-time parameter, so the
+    # per-column window height (filter_height) and its log-slice index
+    # (slice_for_radius) are STATIC tables -- fold them at build time.
+    # Every vert/vert_log read then has constant offsets and lowers to
+    # shifted slices + a max tree instead of data-dependent select chains
+    # (the reference computes the same tables in-pipeline,
+    # apps/max_filter/max_filter_generator.cpp:17-33; the fused
+    # select-chain graph also faulted the XLA:TPU backend).
+    def fh(dxv):
+        return sum(1 for dyv in range(0, radius + 1)
+                   if dxv * dxv + dyv * dyv < (radius + 0.25) ** 2)
 
-    vert = hl.Func("vert")
-    slice_ = hl.clamp(slice_for_radius[t], 0, slices)
-    first = vert_log[x, y - t, c, slice_]
-    second = vert_log[
-        x, y + t + 1 - hl.clamp(1 << slice_, 0, 2 * radius), c, slice_]
-    vert[x, y, c, t] = hl.max(first, second)
-
-    filter_height = hl.Func("filter_height")
-    dy = hl.RDom(0, radius + 1, "dy")
-    filter_height[x] = hl.sum(
-        hl.select(x * x + dy.x * dy.x < (radius + 0.25) * (radius + 0.25),
-                  1, 0))
+    def slice_for(tv):
+        return int(math.floor(math.log(2 * tv + 1) / math.log(2)))
 
     output = hl.Func("max_out")
-    dx = hl.RDom(-radius, 2 * radius + 1, "dx")
-    output[x, y, c] = hl.maximum(
-        vert[x + dx.x, y, c, hl.clamp(filter_height[dx.x], 0, radius + 1)])
+    terms = []
+    for dxv in range(-radius, radius + 1):
+        tv = min(max(fh(dxv), 0), radius + 1)
+        sl = min(max(slice_for(tv), 0), slices)
+        k2 = min(max(1 << sl, 0), 2 * radius)
+        first = vert_log[x + dxv, y - tv, c, sl]
+        second = vert_log[x + dxv, y + tv + 1 - k2, c, sl]
+        terms.append(hl.max(first, second))
+    e_out = terms[0]
+    for tm in terms[1:]:
+        e_out = hl.max(e_out, tm)
+    output[x, y, c] = e_out
 
     vert_log.compute_root()
-    filter_height.compute_root()
 
     def make_inputs(seed=0):
         rng = np.random.default_rng(seed)

@@ -716,6 +716,29 @@ def _merge_shape(shape, ctx_ndim):
     return tuple(s)
 
 
+def _edge_pad(arr, pads):
+    """jnp.pad(mode="edge") without zero-size operands: jnp.pad emits a
+    0-width broadcast+concat piece for one-sided pads, and 0-sized buffers
+    fault the TPU compiler inside fused regions (crashed the worker on
+    max_filter)."""
+    for ax, (lo, hi) in enumerate(pads):
+        if not lo and not hi:
+            continue
+        parts = []
+        n = arr.shape[ax]
+        if lo:
+            first = jax.lax.slice_in_dim(arr, 0, 1, axis=ax)
+            parts.append(jnp.broadcast_to(
+                first, first.shape[:ax] + (lo,) + first.shape[ax + 1:]))
+        parts.append(arr)
+        if hi:
+            last = jax.lax.slice_in_dim(arr, n - 1, n, axis=ax)
+            parts.append(jnp.broadcast_to(
+                last, last.shape[:ax] + (hi,) + last.shape[ax + 1:]))
+        arr = jnp.concatenate(parts, axis=ax) if len(parts) > 1 else arr
+    return arr
+
+
 def _slice_read(P, real: Realized, args, ctx: Ctx):
     """Affine (possibly clamped) per-dim access as pure slices.
 
@@ -789,10 +812,10 @@ def _slice_read(P, real: Realized, args, ctx: Ctx):
         out_axes.append(ax_out)
 
     if any(p != (0, 0) for p in prod_pads):
-        P = jnp.pad(P, prod_pads, mode="edge")
+        P = _edge_pad(P, prod_pads)
     P = jax.lax.slice(P, win_lo, [h + 1 for h in win_hi])
     if any(p != (0, 0) for p in clamp_pads):
-        P = jnp.pad(P, clamp_pads, mode="edge")
+        P = _edge_pad(P, clamp_pads)
     Q = jax.lax.slice(P, [0] * nd,
                       [(c - 1) * s + 1 for c, s in zip(scounts, sstrides)],
                       sstrides)
@@ -1531,6 +1554,15 @@ def _eval_reduce(e: E.Reduce, ctx: Ctx):
         fresh = f"{rv.name}#{tag}"
         new_axes.append(Axis(fresh, ctx.ndim + i, mn, ex))
         binds[rv.name] = AVal({fresh: 1}, 0)
+    if any(a.extent <= 0 for a in new_axes):
+        # zero iterations: the reduction identity -- and 0-sized
+        # intermediates fault the TPU compiler (max_filter's empty
+        # log-slice level crashed the worker process)
+        from .updates import _identity_for
+        op = {"sum": "add", "product": "mul",
+              "minimum": "min", "maximum": "max"}.get(e.op, e.op)
+        return jnp.asarray(_identity_for(op, e.dtype),
+                           dtype=e.dtype.to_np())
     inner = ctx.extended(new_axes)
     inner.bindings = binds
     inner.memo = {}

@@ -298,7 +298,8 @@ def try_pallas_group(f: Func, box: Box, ctx0: Ctx, graph, boxes):
             idx[i] = slice(max(0, int(lo)), min(size, int(hi) + 1))
         sub = arr[tuple(idx)]
         if any(p2 != (0, 0) for p2 in pads):
-            sub = jnp.pad(sub, pads, mode="edge")
+            from ..eval_jnp import _edge_pad
+            sub = _edge_pad(sub, pads)
         ext_arrays.append((t, tuple(cover_lo), wmins, tuple(wal), sub))
 
     out_dtype = f._defs[0].values[0].dtype.to_np()

@@ -911,4 +911,12 @@ def _evaluate_func(f: Func, box: Box, ctx0: Ctx) -> Realized:
                         trace=ctx0.trace)
             ctx_u.realizations[id(f)] = Realized(current, box.mins(), f.name)
             current = apply_update(f, d, current, ctx_u)
+            # pin EVERY update step as a real materialization: each step's
+            # result is consumed several times by the next (self-reads,
+            # init slices, the update-slice base), and XLA fusion
+            # re-computes the producer per consumer -- compounding across
+            # steps (max_filter's 5-step log maxes: 1283ms vs ~4ms SoL;
+            # chained IIR halves: 54ms vs 7ms on v5e). This is Halide's
+            # "updates are serialized in place" semantics, honestly.
+            current = list(jax.lax.optimization_barrier(tuple(current)))
     return Realized(current, box.mins(), f.name)

@@ -180,6 +180,11 @@ def apply_update(func, d, current: List, base_ctx: Ctx,
         return _sequential_update(func, d, current, base_ctx, [])
 
     rdom_axes = _resolve_rdom(d, base_ctx)
+    if any(ax.extent <= 0 for ax in rdom_axes):
+        # zero iterations: a no-op -- and 0-sized intermediates fault the
+        # TPU compiler (max_filter's empty log-slice level crashed the
+        # worker process)
+        return current
 
     if aligned:
         r = _try_dense_combine(func, d, current, base_ctx, rdom_axes)
@@ -784,6 +789,70 @@ def _try_unrolled_onehot(func, d, current, base_ctx: Ctx, rdom_axes, ops):
     return list(out)
 
 
+_DENSE_SCATTER_MAX = 1024
+
+
+def _dense_small_scatter(cur, op, garr, np_idx, vtype, identity, inner,
+                         rdom_axes):
+    """Scatter whose data-dependent target dims are SMALL (histograms, bin
+    reductions) as a dense compare-and-reduce over the rdom:
+        out[.., k, ..] op= reduce_r(g[r, ..] where lin(r, ..) == k)
+    Identity-indexed dims are batch dims (per-row histograms keep their row
+    axis); only the data-dependent dims are flattened into the compared K.
+    TPU scatters serialize per element (hist: 34ms/frame scatter vs 0.2ms
+    compare-reduce measured on v5e). Reorderable ops only -- `set` with
+    duplicate indices is order-sensitive."""
+    nd = cur.ndim
+    dd_np = [a for a in range(nd) if not identity[nd - 1 - a]]
+    K = 1
+    for a in dd_np:
+        K *= cur.shape[a]
+    lin = jnp.zeros((), jnp.int32)
+    oob = jnp.zeros((), bool)
+    for a in dd_np:                       # np-major flattening
+        ia = jnp.asarray(np_idx[a], jnp.int32)
+        lin = lin * cur.shape[a] + ia
+        oob = oob | (ia < 0) | (ia >= cur.shape[a])
+    lin = jnp.where(oob, K, lin)          # out-of-bounds writes drop
+    ks = jnp.arange(K, dtype=jnp.int32)
+    eq = lin[..., None] == ks
+    gb = garr[..., None]
+    red_np = tuple(inner.ndim - 1 - ax.rpos for ax in rdom_axes)
+    if jnp.issubdtype(cur.dtype, jnp.floating):
+        acc_t = jnp.float32
+    else:
+        acc_t = jnp.int32
+    if op in ("add", "sub"):
+        contrib = jnp.sum(jnp.where(eq, gb, jnp.zeros((), garr.dtype)),
+                          axis=red_np, dtype=acc_t)
+    elif op == "mul":
+        contrib = jnp.prod(jnp.where(eq, gb, jnp.ones((), garr.dtype)),
+                           axis=red_np, dtype=acc_t)
+    else:
+        fill = jnp.asarray(_identity_for(op, vtype), garr.dtype)
+        red = jnp.min if op == "min" else jnp.max
+        contrib = red(jnp.where(eq, gb, fill), axis=red_np)
+    # contrib: (base grid dims, 1 at dd axes) + (K,); unflatten K into the
+    # dd axes and fold each back into its np slot
+    contrib = contrib.reshape(contrib.shape[:-1]
+                              + tuple(cur.shape[a] for a in dd_np))
+    for i in range(len(dd_np) - 1, -1, -1):
+        src = nd + i
+        p = dd_np[i]
+        contrib = jnp.squeeze(contrib, axis=p)
+        contrib = jnp.moveaxis(contrib, src - 1, p)
+    contrib = contrib.astype(cur.dtype)
+    if op == "add":
+        return cur + contrib
+    if op == "sub":
+        return cur - contrib
+    if op == "mul":
+        return cur * contrib
+    if op == "min":
+        return jnp.minimum(cur, contrib)
+    return jnp.maximum(cur, contrib)
+
+
 def _general_scatter(func, d, current, base_ctx, inner, rdom_axes, ops,
                      mask):
     init_args = func._defs[0].args
@@ -827,6 +896,18 @@ def _general_scatter(func, d, current, base_ctx, inner, rdom_axes, ops,
                 this_idx = [jnp.where(bmask, ix, cur.shape[k])
                             for k, ix in enumerate(this_idx)]
         t = tuple(this_idx)
+        nd_cur = cur.ndim
+        k_dd = 1
+        for a in range(nd_cur):
+            if not identity[nd_cur - 1 - a]:
+                k_dd *= cur.shape[a]
+        if op != "set" and rdom_axes and k_dd <= _DENSE_SCATTER_MAX \
+                and k_dd * garr.size <= (1 << 31):
+            nv = _dense_small_scatter(cur, op, garr, this_idx,
+                                      d.values[i].dtype, identity, inner,
+                                      rdom_axes)
+            out.append(nv)
+            continue
         if op == "add":
             nv = cur.at[t].add(garr, mode="drop")
         elif op == "sub":
