@@ -44,6 +44,7 @@ APP_SIZES = {
     "bilateral_grid": dict(width=1280, height=768),
     "fft": dict(width=256, height=256),
     "nl_means": dict(width=1280, height=768),
+    "lens_blur": dict(width=1280, height=768),
 }
 
 
@@ -228,6 +229,26 @@ def main():
                 app = builder()
             data = app.make_inputs()
             app.bind(data)
+            if os.environ.get("BENCH_CHECK"):
+                # one correctness realize against the app's numpy golden
+                # (catches backend miscompiles that CPU tests cannot see)
+                import numpy as _np
+                got = app.realize()
+                gl = [_np.asarray(g) for g in
+                      (got if isinstance(got, (list, tuple)) else [got])]
+                refv = app.reference(**data)
+                refs = refv if isinstance(refv, (list, tuple)) else [refv]
+                worst = 0.0
+                for g, rf in zip(gl, refs):
+                    g64 = g.astype(_np.float64)
+                    r64 = _np.asarray(rf).astype(_np.float64)
+                    tol = app.tolerance * _np.maximum(1.0, _np.abs(r64)) \
+                        + max(app.atol, 1e-12)
+                    worst = max(worst, float(
+                        (_np.abs(g64 - r64) > tol).mean()))
+                ok = worst <= max(app.mismatch_frac, 0.0)
+                if not ok:
+                    errors[name] = f"CHECK FAILED: badfrac {worst:.4f}"
             dt = bench_one(app)
             print(f"bench: {name} done in {time.monotonic()-t_app:.1f}s "
                   f"-> {dt*1e3:.3f} ms/frame", file=sys.stderr, flush=True)

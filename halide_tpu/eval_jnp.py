@@ -347,6 +347,32 @@ def _eval(e: Expr, ctx: Ctx):
 
 def _aval_binary(op, a, b):
     """Affine-preserving binary ops; returns None if it must materialize."""
+    if isinstance(a, AVal) and isinstance(b, AVal) and a.is_const() \
+            and b.is_const() and _is_static(a.const) and _is_static(b.const):
+        # full constant folding: a materialized scalar here poisons every
+        # downstream index into "data-dependent" (gathers). E.g. the outer
+        # sequential loop binds an rvar to a const; 1 << (r - 1) must stay
+        # symbolic (max_filter's shifted log-slice reads: 1283ms of
+        # gathers vs 4ms of slices on v5e).
+        xv, yv = int(a.const), int(b.const)
+        if op == "shl" and yv >= 0:
+            return AVal({}, xv << yv)
+        if op == "shr" and yv >= 0:
+            return AVal({}, xv >> yv)
+        if op == "div":
+            return AVal({}, 0 if yv == 0 else xv // yv)
+        if op == "mod":
+            return AVal({}, 0 if yv == 0 else xv % yv)
+        if op == "min":
+            return AVal({}, min(xv, yv))
+        if op == "max":
+            return AVal({}, max(xv, yv))
+        if op == "bitand":
+            return AVal({}, xv & yv)
+        if op == "bitor":
+            return AVal({}, xv | yv)
+        if op == "bitxor":
+            return AVal({}, xv ^ yv)
     if op == "add":
         if isinstance(a, AVal) and isinstance(b, AVal):
             c = dict(a.coeffs)

@@ -913,10 +913,14 @@ def _evaluate_func(f: Func, box: Box, ctx0: Ctx) -> Realized:
             current = apply_update(f, d, current, ctx_u)
             # pin EVERY update step as a real materialization: each step's
             # result is consumed several times by the next (self-reads,
-            # init slices, the update-slice base), and XLA fusion
-            # re-computes the producer per consumer -- compounding across
-            # steps (max_filter's 5-step log maxes: 1283ms vs ~4ms SoL;
-            # chained IIR halves: 54ms vs 7ms on v5e). This is Halide's
+            # init slices, the update-slice base). This is Halide's
             # "updates are serialized in place" semantics, honestly.
             current = list(jax.lax.optimization_barrier(tuple(current)))
+    # pin the materialization itself: compute_root MEANS materialize.
+    # Beyond matching the reference's semantics, this is a correctness
+    # requirement on TPU -- XLA:TPU MISCOMPILED iir_blur's fully-fused
+    # two-stage scan graph (jit maxerr 0.55 vs eager 6.6e-7 on identical
+    # traces, v5e); bounding fusion regions at scheduled materialization
+    # points sidesteps it at no measured cost (33.1ms vs 33.0ms).
+    current = list(jax.lax.optimization_barrier(tuple(current)))
     return Realized(current, box.mins(), f.name)

@@ -456,9 +456,11 @@ def _try_scan(func, d, current, base_ctx: Ctx, rdom_axes):
     if lin is not None:
         a_e, b_e = lin
         a_val = eval_array(a_e, inner)
+        import os as _os
         if (mask is None and not isinstance(a_val, jax.core.Tracer)
                 and jnp.size(a_val) == 1
-                and jnp.issubdtype(dtype, jnp.floating)):
+                and jnp.issubdtype(dtype, jnp.floating)
+                and not _os.environ.get("HT_NO_DECAY_SCAN")):
             # constant-coefficient linear recurrence (IIR with static
             # alpha): Kogge-Stone shift-FMA rounds on ONE array with a
             # scalar per-round decay d^(2^k) -- half the traffic of the
