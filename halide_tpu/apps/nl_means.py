@@ -32,6 +32,13 @@ def build(width: int = 1536, height: int = 2560, patch_size: int = 7,
     blur_d_y[x, y, dx, dy] = hl.sum(d[x, y + patch_dom.x, dx, dy])
     blur_d = hl.Func("blur_d")
     blur_d[x, y, dx, dy] = hl.sum(blur_d_y[x + patch_dom.x, y, dx, dy])
+    # stage the separable box sums (the reference schedules these at tiles,
+    # nl_means_generator.cpp:65-80); fully inline, the composed reads carry
+    # 4 small offset vars and fall off the unrolled-slice path into 4-D
+    # index-grid gathers (28GB of s32 indices at 1280x768 on TPU)
+    d.compute_root()
+    blur_d_y.compute_root()
+    blur_d.compute_root()
 
     w = hl.Func("w")
     w[x, y, dx, dy] = hl.fast_exp(blur_d[x, y, dx, dy] * inv_sigma_sq)

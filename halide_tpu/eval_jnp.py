@@ -569,7 +569,82 @@ def _aval_subst(v, name: str, value: int):
     return v
 
 
-_MAX_UNROLL_READ = 32
+_MAX_UNROLL_READ = 64   # 7x7 search/patch windows (nl_means) unroll as shifted slices
+
+
+def _split_read(P, real: Realized, args, ctx: Ctx):
+    """Split-pattern access: a dim indexed by c*va + vb (+k) with
+    c == extent(vb) covers a CONTIGUOUS span -- the inverse of a schedule
+    split (the bgu splat pattern clamp(s*x + r, ..)). Lower as one flat
+    window slice (+ clamp edge-pad) reshaped into the two axes; unrolling
+    these burned 64 concat branches per read and overflowed the unroll cap
+    into gathers. Returns None when no dim matches."""
+    nd = P.ndim
+    target = None
+    for j, v in enumerate(args):
+        av = v.aval if isinstance(v, ClampedAVal) else v
+        if not isinstance(av, AVal) or len(av.coeffs) != 2:
+            continue
+        if not _is_static(av.const) or not _is_static(real.mins[j]):
+            continue
+        (n1, c1), (n2, c2) = sorted(av.coeffs.items(), key=lambda kv: -abs(kv[1]))
+        if c2 != 1 or c1 <= 1:
+            continue
+        ax_a, ax_b = ctx.axes.get(n1), ctx.axes.get(n2)
+        if ax_a is None or ax_b is None:
+            continue
+        if not (_is_static(ax_a.min) and _is_static(ax_b.min)):
+            continue
+        if c1 != ax_b.extent:
+            continue
+        target = (j, v, av, n1, c1, n2, ax_a, ax_b)
+        break
+    if target is None:
+        return None
+    j, v, av, n1, c1, n2, ax_a, ax_b = target
+    npax = nd - 1 - j
+    const = int(av.const)
+    a0 = const + c1 * int(ax_a.min) + int(ax_b.min)
+    count = ax_a.extent * ax_b.extent
+    a1 = a0 + count - 1
+    lo, hi = a0, a1
+    if isinstance(v, ClampedAVal):
+        if v.lo != -math.inf:
+            lo = max(lo, int(v.lo))
+            hi = max(hi, int(v.lo))
+        if v.hi != math.inf:
+            lo = min(lo, int(v.hi))
+            hi = min(hi, int(v.hi))
+    size = P.shape[npax]
+    lo_idx = lo - int(real.mins[j])
+    hi_idx = hi - int(real.mins[j])
+    pad_lo = max(0, -lo_idx)
+    pad_hi = max(0, hi_idx - (size - 1))
+    if (pad_lo or pad_hi) and not isinstance(v, ClampedAVal):
+        return None                  # genuine OOB: let the caller diagnose
+    if pad_lo or pad_hi:
+        pads = [(0, 0)] * nd
+        pads[npax] = (pad_lo, pad_hi)
+        P = _edge_pad(P, pads)
+        lo_idx += pad_lo
+        hi_idx += pad_lo
+    P = jax.lax.slice_in_dim(P, lo_idx, hi_idx + 1, axis=npax)
+    cl_pads = [(0, 0)] * nd
+    cl_pads[npax] = (lo - a0, a1 - hi)
+    if cl_pads[npax] != (0, 0):
+        P = _edge_pad(P, cl_pads)
+    # reshape flat axis -> (ext_a, ext_b); np-major puts va before vb
+    newshape = P.shape[:npax] + (ax_a.extent, ax_b.extent) \
+        + P.shape[npax + 1:]
+    P = P.reshape(newshape)
+    # pipeline order reverses np order: vb is dim j, va is dim j+1
+    # (identity consts are 0: the axis mins live in the stub's mins)
+    args2 = list(args[:j]) + [AVal({n2: 1}, 0), AVal({n1: 1}, 0)] \
+        + list(args[j + 1:])
+    mins2 = list(real.mins[:j]) + [int(ax_b.min), int(ax_a.min)] \
+        + list(real.mins[j + 1:])
+    stub = Realized((P,), mins2, real.name)
+    return _affine_read(P, stub, args2, ctx)
 
 
 def _read_realized(real: Realized, e: E.Call, ctx: Ctx):
@@ -585,6 +660,38 @@ def _affine_read(P, real: Realized, args, ctx: Ctx):
     axes (the im2col pattern, e.g. input[x + r] in convolutions); else
     gather."""
     nd = P.ndim
+    # normalize clamp-of-division (clamp((x+c)//d, lo, hi), the bgu/splat
+    # coarse-grid pattern): repeat the producer d-fold, then the access is
+    # clamp(x + c, lo*d, hi*d + d - 1) -- floor-div is monotone, so the
+    # scaled clamp selects the identical element; stays on the slice path
+    if any(isinstance(v, ClampedAVal) and isinstance(v.aval, DivAVal)
+           for v in args):
+        mins2 = list(real.mins)
+        args2 = []
+        P2 = P
+        changed = False
+        for j, v in enumerate(args):
+            if isinstance(v, ClampedAVal) and isinstance(v.aval, DivAVal) \
+                    and _is_static(real.mins[j]):
+                dv = v.aval
+                npax = nd - 1 - j
+                if P2.shape[npax] * dv.div <= (1 << 26):
+                    P2 = jnp.repeat(P2, dv.div, axis=npax)
+                    mins2[j] = int(real.mins[j]) * dv.div
+                    lo = v.lo if v.lo == -math.inf else v.lo * dv.div
+                    hi = v.hi if v.hi == math.inf \
+                        else v.hi * dv.div + dv.div - 1
+                    args2.append(ClampedAVal(AVal({dv.var: 1}, dv.const),
+                                             lo, hi))
+                    changed = True
+                    continue
+            args2.append(v)
+        if changed:
+            stub = Realized((P2,), mins2, real.name)
+            return _affine_read(P2, stub, args2, ctx)
+    r = _split_read(P, real, args, ctx)
+    if r is not None:
+        return r
     sliceable = True
     used_vars: List[Optional[str]] = []
     multi_vars: List[str] = []
@@ -657,12 +764,19 @@ def _affine_read(P, real: Realized, args, ctx: Ctx):
         any_div = any(isinstance(
             v.aval if isinstance(v, ClampedAVal) else v, DivAVal)
             for v in args)
-        if len(bad) == 1 and P.shape[nd2 - 1 - bad[0]] <= _LUT_ONEHOT_MAX:
-            r = _onehot_lut_read(P, real, args, bad[0], ctx)
-            if r is not None:
-                return r
-        if len(bad) == 1 and P.shape[nd2 - 1 - bad[0]] <= 32 \
-                and not any_div:
+        if bad:
+            k_total = 1
+            for j in bad:
+                k_total *= P.shape[nd2 - 1 - j]
+            if k_total <= _LUT_ONEHOT_MAX:
+                r = _onehot_lut_read(P, real, args, bad, ctx)
+                if r is not None:
+                    return r
+        # with DivAVal dims in play each branch adds repeat+slice work, so
+        # keep the chain short (<=8: the local_laplacian pyramid
+        # level-select); pure-slice branches can afford 32
+        chain_max = 16 if any_div else 32
+        if len(bad) == 1 and P.shape[nd2 - 1 - bad[0]] <= chain_max:
             j = bad[0]
             size = P.shape[nd2 - 1 - j]
             # remaining dims must not collide
@@ -981,7 +1095,44 @@ def _dyn_slice_read(P, real: Realized, args, ctx: Ctx):
 _LUT_ONEHOT_MAX = 1024
 
 
-def _onehot_lut_read(P, real: Realized, args, j, ctx: Ctx):
+def _onehot_lut_read(P, real: Realized, args, bad, ctx: Ctx):
+    """Multi-dim wrapper: flatten all data-dependent dims (np-major) into
+    one compared K and dispatch to the single-dim contraction below."""
+    if len(bad) == 1:
+        return _onehot_lut_read1(P, real, args, bad[0], ctx)
+    nd2 = len(P.shape)
+    # all dd dims must have static mins
+    for j in bad:
+        if not _is_static(real.mins[j]):
+            return None
+    # combine: move every dd axis into ONE by flattening P over them and
+    # building the linear index array
+    bad_np = sorted(nd2 - 1 - j for j in bad)
+    sizes = [P.shape[a] for a in bad_np]
+    lin = jnp.zeros((), jnp.int32)
+    for a in bad_np:
+        j = nd2 - 1 - a
+        ia = jnp.asarray(materialize(args[j], ctx))
+        ia = jnp.clip(ia - int(real.mins[j]), 0, P.shape[a] - 1)
+        lin = lin * P.shape[a] + ia
+    # P with dd axes moved to the front (np-major order) and flattened
+    P2 = jnp.moveaxis(P, bad_np, range(len(bad_np)))
+    lead = 1
+    for s in sizes:
+        lead *= s
+    P2 = P2.reshape((lead,) + P2.shape[len(bad_np):])
+    # rebuild args: flattened dd dim is the LAST pipeline dim of P2
+    rest = [args[j2] for j2 in reversed(range(len(args)))
+            if (nd2 - 1 - j2) not in bad_np]   # np order of remaining
+    args2 = list(reversed(rest)) + [lin]       # pipeline order + dd last
+    mins2 = [real.mins[j2] for j2 in reversed(range(len(args)))
+             if (nd2 - 1 - j2) not in bad_np]
+    mins2 = list(reversed(mins2)) + [0]
+    stub = Realized((P2,), mins2, real.name)
+    return _onehot_lut_read1(P2, stub, args2, len(args2) - 1, ctx)
+
+
+def _onehot_lut_read1(P, real: Realized, args, j, ctx: Ctx):
     """Small-table data-dependent read -> one-hot contraction.
 
     TPU gathers serialize; a (pixels x N) one-hot times (N,) table is a

@@ -36,6 +36,10 @@ from .visitors import exprs_equal, mutate, substitute, walk
 
 _COMBINE_OPS = ("add", "sub", "mul", "min", "max")
 
+# full dense-combine grid cap (elements); larger reductions step the
+# outermost rdom dim sequentially
+_DENSE_COMBINE_MAX = 1 << 27
+
 
 def _is_undef(e: Expr) -> bool:
     return isinstance(e, E.Intrin) and e.name == "undef"
@@ -241,6 +245,17 @@ def _try_dense_combine(func, d, current, base_ctx: Ctx, rdom_axes):
                 return None
         decomps.append(dc)
     inner = base_ctx.extended(rdom_axes)
+    grid = 1
+    for a in rdom_axes:
+        grid *= a.extent
+    for s in _out_shape(base_ctx):
+        grid *= s
+    if grid > _DENSE_COMBINE_MAX and len(rdom_axes) > 1:
+        # the full (rdom x output) product would materialize multi-GB
+        # temporaries (nl_means' 49-point search at full res: XLA:TPU
+        # compile OOM); fall through to the outer sequential loop which
+        # re-classifies per step on a grid /outer_extent
+        return None
     mask = _eval_mask(d.predicates, inner)
     shape = _out_shape(base_ctx)
     red_axes = tuple(inner.ndim - 1 - a.rpos for a in rdom_axes)
