@@ -109,6 +109,23 @@ def bench_one(app, min_delta_s=0.1, max_n=128, chain_k=24):
             _force(chain_run(args, jnp.int32(chain_k)))
             tk = time.perf_counter() - t0
             best = min(best, (tk - t1) / (chain_k - 1))
+        if best < 5e-4:
+            # sub-noise regime: the k=24 delta is comparable to tunnel
+            # jitter (one fast app measured 0.005ms, another 7x high);
+            # lengthen the chain 10x for resolution -- k is traced, so no
+            # recompile
+            k2 = 255
+            best2 = math.inf
+            for _ in range(3):
+                t0 = time.perf_counter()
+                _force(chain_run(args, jnp.int32(1)))
+                t1 = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                _force(chain_run(args, jnp.int32(k2)))
+                tk = time.perf_counter() - t0
+                best2 = min(best2, (tk - t1) / (k2 - 1))
+            if best2 > 0:
+                return best2
         # sub-microsecond per-frame deltas mean the chain was optimized out
         # or timing noise swamped the difference: fall back to host-loop
         # run-length differencing
