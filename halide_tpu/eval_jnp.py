@@ -105,7 +105,7 @@ class Realized:
 
 class Ctx:
     __slots__ = ("ndim", "axes", "bindings", "realizations", "params",
-                 "memo", "rng_seed", "trace", "sym_vals")
+                 "memo", "rng_seed", "trace", "sym_vals", "multi_read")
 
     def __init__(self, ndim: int, axes: Dict[str, Axis], bindings: dict,
                  realizations: Dict[int, Realized], params: dict,
@@ -119,6 +119,9 @@ class Ctx:
         self.rng_seed = rng_seed
         self.trace = trace
         self.sym_vals = sym_vals or {}
+        # set by the lowering driver: ids of funcs read >1x (their
+        # materializations get fusion barriers); None = barrier everything
+        self.multi_read = None
 
     def with_bindings(self, bindings: dict) -> "Ctx":
         return Ctx(self.ndim, self.axes, bindings, self.realizations,
@@ -1092,6 +1095,19 @@ def _dyn_slice_read(P, real: Realized, args, ctx: Ctx):
     return _place_axes(Q, out_axes, nd, ctx)
 
 
+import os as _os
+
+
+def _contract_precision():
+    """MXU contraction precision for f32 (HT_PRECISION=default|highest).
+    HIGHEST is the default: the TPU's bf16 passes are wrong for f32
+    pipelines (fft was 90% mismatched). NN models whose tolerances absorb
+    bf16 error can opt out per-process for compile time and throughput."""
+    return (jax.lax.Precision.DEFAULT
+            if _os.environ.get("HT_PRECISION", "").lower() == "default"
+            else jax.lax.Precision.HIGHEST)
+
+
 _LUT_ONEHOT_MAX = 1024
 
 
@@ -1199,7 +1215,7 @@ def _onehot_lut_read1(P, real: Realized, args, j, ctx: Ctx):
     tbl = jnp.moveaxis(tbl, tbl_axes.index("k"), -1)
     grid_axes = [a for a in tbl_axes if a != "k"]
     oh = jax.nn.one_hot(idx, size, dtype=jnp.float32)
-    hi_p = jax.lax.Precision.HIGHEST   # exact f32 products, not bf16 passes
+    hi_p = jax.lax.Precision.HIGHEST   # one-hot selection must stay exact
     if tbl.dtype.kind in "fc" or jnp.dtype(tbl.dtype).itemsize <= 2:
         # one nonzero term per row: exact in f32 for any f32/<=16-bit table
         res = jnp.tensordot(oh, tbl.astype(jnp.float32), axes=[[-1], [-1]],
@@ -1483,7 +1499,7 @@ def try_conv_reduce(e: Expr, ctx: Ctx, red_axes_names):
         window_strides=tuple(s[2] for s in spatial),
         padding="VALID", dimension_numbers=dn,
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
+        precision=_contract_precision())
     # out: [N, S..., O] -> place into ctx
     if nb != 1:
         out = out.reshape(tuple(bshape) + out.shape[1:])
@@ -1550,7 +1566,7 @@ def try_einsum_reduce(e: Expr, ctx: Ctx, red_np_axes):
         # default is bf16 passes -- wrong for f32 pipelines); bf16
         # operands are a single pass either way
         r = jnp.einsum(spec, *ops, preferred_element_type=acc,
-                       precision=jax.lax.Precision.HIGHEST)
+                       precision=_contract_precision())
     except Exception:
         return None
     shape = [1] * ctx.ndim

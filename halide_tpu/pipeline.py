@@ -151,6 +151,22 @@ def gather_graph(outputs: List[Func]) -> _Graph:
     return g
 
 
+def _multi_read_ids(g: _Graph) -> set:
+    """ids of funcs read from more than one call site anywhere in the graph
+    (their materializations get fusion barriers; single-read producers stay
+    fusable)."""
+    counts: Dict[int, int] = {}
+
+    def on_call(n):
+        if isinstance(n, E.Call) and isinstance(n.target, Func):
+            counts[id(n.target)] = counts.get(id(n.target), 0) + 1
+
+    for f in g.funcs:
+        for e in _all_def_exprs(f):
+            walk(e, on_call)
+    return {fid for fid, c in counts.items() if c > 1}
+
+
 # ---------------------------------------------------------------------------
 # bounds inference
 # ---------------------------------------------------------------------------
@@ -612,6 +628,7 @@ class Pipeline:
             ctx0 = Ctx(0, {}, {}, realizations,
                        {k: v for k, v in param_vals.items()},
                        trace=self.trace)
+            ctx0.multi_read = _multi_read_ids(g)
             deferred: Dict[int, List[Func]] = {}
 
             def eval_standalone(fn):
@@ -916,11 +933,17 @@ def _evaluate_func(f: Func, box: Box, ctx0: Ctx) -> Realized:
             # init slices, the update-slice base). This is Halide's
             # "updates are serialized in place" semantics, honestly.
             current = list(jax.lax.optimization_barrier(tuple(current)))
-    # pin the materialization itself: compute_root MEANS materialize.
-    # Beyond matching the reference's semantics, this is a correctness
-    # requirement on TPU -- XLA:TPU MISCOMPILED iir_blur's fully-fused
-    # two-stage scan graph (jit maxerr 0.55 vs eager 6.6e-7 on identical
-    # traces, v5e); bounding fusion regions at scheduled materialization
-    # points sidesteps it at no measured cost (33.1ms vs 33.0ms).
-    current = list(jax.lax.optimization_barrier(tuple(current)))
+    # pin the materialization when the func has updates or is read from
+    # several sites: compute_root MEANS materialize, and on TPU this is
+    # also a correctness requirement -- XLA:TPU MISCOMPILED iir_blur's
+    # fully-fused multi-consumer scan graph (jit maxerr 0.55 vs eager
+    # 6.6e-7 on identical traces, v5e). Single-read pure producers (conv
+    # chains) stay fusable: barriering them ballooned resnet-50's compile
+    # past 8 minutes.
+    import os as _os
+    if _os.environ.get("HT_NO_BARRIER"):
+        pass
+    elif len(f._defs) > 1 or getattr(ctx0, "multi_read", None) is None \
+            or id(f) in ctx0.multi_read:
+        current = list(jax.lax.optimization_barrier(tuple(current)))
     return Realized(current, box.mins(), f.name)

@@ -248,14 +248,8 @@ def _try_dense_combine(func, d, current, base_ctx: Ctx, rdom_axes):
     grid = 1
     for a in rdom_axes:
         grid *= a.extent
-    for s in _out_shape(base_ctx):
-        grid *= s
-    if grid > _DENSE_COMBINE_MAX and len(rdom_axes) > 1:
-        # the full (rdom x output) product would materialize multi-GB
-        # temporaries (nl_means' 49-point search at full res: XLA:TPU
-        # compile OOM); fall through to the outer sequential loop which
-        # re-classifies per step on a grid /outer_extent
-        return None
+    for sdim in _out_shape(base_ctx):
+        grid *= sdim
     mask = _eval_mask(d.predicates, inner)
     shape = _out_shape(base_ctx)
     red_axes = tuple(inner.ndim - 1 - a.rpos for a in rdom_axes)
@@ -289,6 +283,12 @@ def _try_dense_combine(func, d, current, base_ctx: Ctx, rdom_axes):
                 nv = current[i] + red.astype(current[i].dtype)
                 out.append(jnp.broadcast_to(nv, shape))
                 continue
+        if grid > _DENSE_COMBINE_MAX and len(rdom_axes) > 1:
+            # MXU contractions above never materialize the product grid;
+            # this fallback does -- multi-GB temporaries at full res
+            # (nl_means' 49-point search OOMed the TPU compiler). Step the
+            # outermost rdom dim sequentially instead.
+            return None
         garr = eval_array(g, inner)
         garr = jnp.broadcast_to(garr, jnp.broadcast_shapes(
             garr.shape if hasattr(garr, "shape") else (),
