@@ -33,8 +33,16 @@ REF_CPU_MS = {
     "camera_pipe": 5.0,
 }
 
-# canonical megapixels for the reference numbers above (BASELINE.md)
-REF_MP = {"blur": 2560 * 1536 / 1e6, "camera_pipe": 2560 * 1920 / 1e6}
+# canonical megapixels for the reference numbers above (BASELINE.md).
+# Every app that is both size-overridden in APP_SIZES and present in
+# REF_CPU_MS MUST have an entry here, otherwise vs_ref_cpu would divide a
+# canonical-size reference time by a reduced-size workload.
+REF_MP = {
+    "blur": 2560 * 1536 / 1e6,
+    "camera_pipe": 2560 * 1920 / 1e6,
+    "nl_means": 2560 * 1536 / 1e6,
+    "bgu": 2560 * 1536 / 1e6,
+}
 
 CANONICAL = dict(width=2560, height=1536)
 
@@ -265,7 +273,10 @@ def main():
                         (_np.abs(g64 - r64) > tol).mean()))
                 ok = worst <= max(app.mismatch_frac, 0.0)
                 if not ok:
+                    # a miscompiled-but-fast app must not inflate the
+                    # headline geomean: record the failure and skip it
                     errors[name] = f"CHECK FAILED: badfrac {worst:.4f}"
+                    continue
             dt = bench_one(app)
             print(f"bench: {name} done in {time.monotonic()-t_app:.1f}s "
                   f"-> {dt*1e3:.3f} ms/frame", file=sys.stderr, flush=True)

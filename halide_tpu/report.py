@@ -36,12 +36,12 @@ def pipeline_report_html(pipeline, sizes=None) -> str:
 
     boxes = {}
     if sizes is not None:
-        try:
-            from .bounds import Box, Interval
-            fn, _, regions = pipeline._prepare(sizes, jit=False)
-            # bounds from a fresh pass for display
-        except Exception:
-            pass
+        # per-func inferred regions from a fresh bounds pass (display only)
+        from .bounds import BoundsEngine
+        from .pipeline import _BoundsPass
+        bp = _BoundsPass(g, BoundsEngine())
+        bp.run(pipeline.outputs, pipeline._out_regions(sizes))
+        boxes = bp.boxes
 
     from .ops.pallas_group import find_tile, group_members
     for f in g.funcs:
@@ -78,6 +78,11 @@ def pipeline_report_html(pipeline, sizes=None) -> str:
         lvl = f._fschedule.compute_level
         parts.append(f"<div class=sched>compute: {html.escape(repr(lvl))}"
                      f"</div>")
+        box = boxes.get(id(f))
+        if box is not None and box.defined():
+            ext = ", ".join(f"[{iv.lo}, {iv.hi}]" for iv in box.dims)
+            parts.append(f"<div class=meta>inferred region: "
+                         f"{html.escape(ext)}</div>")
         if lower:
             parts.append(lower)
         parts.append("</div>")

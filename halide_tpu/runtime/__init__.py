@@ -117,9 +117,13 @@ class MemoCache:
             n = self._lib.ht_cache_lookup(key, len(key), None, 0)
             if n < 0:
                 return None
-            buf = ctypes.create_string_buffer(n)
-            self._lib.ht_cache_lookup(key, len(key), buf, n)
-            return buf.raw
+            buf = ctypes.create_string_buffer(max(n, 1))
+            # the entry can be evicted between the size probe and the fill;
+            # a negative or changed size on the second call is a miss
+            n2 = self._lib.ht_cache_lookup(key, len(key), buf, n)
+            if n2 < 0 or n2 != n:
+                return None
+            return buf.raw[:n]
         v = self._store.get(key)
         if v is None:
             self.misses += 1

@@ -602,6 +602,17 @@ def _scatter_update(func, d, current, base_ctx: Ctx, rdom_axes,
     r = _try_unrolled_onehot(func, d, current, base_ctx, rdom_axes, ops)
     if r is not None:
         return r
+    if rdom_axes and any(op == "set" for op, _ in ops):
+        # XLA's scatter-set is order-undefined for duplicate indices, but
+        # Halide defines sequential RDom order for overwrites. 'set' may
+        # reach the general scatter only when every rdom var addresses its
+        # own LHS dim with unit stride (index tuples then provably unique
+        # across the domain); otherwise decline so apply_update routes to
+        # the order-preserving outer-loop/sequential paths.
+        covered = {k[1].name for k in kinds
+                   if k is not None and k[0] == "rspan"}
+        if any(ax.name not in covered for ax in rdom_axes):
+            return None
     return _general_scatter(func, d, current, base_ctx, inner, rdom_axes,
                             ops, mask)
 
