@@ -6,8 +6,8 @@ import os
 import sys
 import traceback
 
-FIFO = "/tmp/devloop.fifo"
-LOG = "/tmp/devloop.log"
+FIFO = os.environ.get("DEVLOOP_FIFO", "/tmp/devloop.fifo")
+LOG = os.environ.get("DEVLOOP_LOG", "/tmp/devloop.log")
 
 if os.path.exists(FIFO):
     os.remove(FIFO)

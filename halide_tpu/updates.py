@@ -468,6 +468,25 @@ def _try_scan(func, d, current, base_ctx: Ctx, rdom_axes):
             outv = jnp.flip(outv, scan_np)
         return outv
 
+    def _try_pallas(b_arr, a_const=None, a_arr=None):
+        """One-pass blocked VMEM-carry scan kernel (ops/pallas_scan.py);
+        returns the scanned span or None (fall back to the log-depth XLA
+        rounds). Mirrors the reference's single-pass sequential loop
+        (SlidingWindow.cpp carry semantics) at HBM speed-of-light."""
+        import os as _os
+        if _os.environ.get("HT_NO_PALLAS_SCAN"):
+            return None
+        from .ops.pallas_scan import linear_scan
+        try:
+            return linear_scan(
+                b_arr, init_vals.astype(dtype), scan_np, backward,
+                a_const=a_const, a=a_arr,
+                interpret=jax.default_backend() != "tpu")
+        except Exception:
+            if _os.environ.get("HT_PALLAS_STRICT"):
+                raise
+            return None
+
     if lin is not None:
         a_e, b_e = lin
         a_val = eval_array(a_e, inner)
@@ -484,6 +503,11 @@ def _try_scan(func, d, current, base_ctx: Ctx, rdom_axes):
             # (reference: apps/iir_blur/iir_blur_generator.cpp:13-33)
             dconst = float(jnp.reshape(a_val, ()))
             b_arr = to_array_layout(eval_array(b_e, inner))
+            res = _try_pallas(b_arr, a_const=dconst)
+            if res is not None:
+                new = jax.lax.dynamic_update_slice_in_dim(
+                    cur, res.astype(dtype), arr_lo, axis=scan_np)
+                return [new]
             e = jnp.flip(b_arr, scan_np) if backward else b_arr
             y = jnp.concatenate([init_vals.astype(dtype), e],
                                 axis=scan_np)
@@ -510,6 +534,11 @@ def _try_scan(func, d, current, base_ctx: Ctx, rdom_axes):
             m = to_array_layout(jnp.asarray(mask).astype(jnp.int32)) != 0
             a_arr = jnp.where(m, a_arr, jnp.zeros_like(a_arr))
             b_arr = jnp.where(m, b_arr, cur_span)
+        res = _try_pallas(b_arr, a_arr=a_arr)
+        if res is not None:
+            new = jax.lax.dynamic_update_slice_in_dim(
+                cur, res.astype(dtype), arr_lo, axis=scan_np)
+            return [new]
         elems_init = (jnp.zeros_like(init_vals), init_vals)
 
         def combine(l, r):
