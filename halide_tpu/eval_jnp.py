@@ -30,6 +30,7 @@ import numpy as np
 from . import expr as E
 from .expr import CompileError, Expr
 from .htypes import Bool, Float, Int, Type, UInt
+from .ops import onehot_mxu
 
 # ---------------------------------------------------------------------------
 # values
@@ -1214,6 +1215,18 @@ def _onehot_lut_read1(P, real: Realized, args, j, ctx: Ctx):
     tbl = P[tuple(indexer)]
     tbl = jnp.moveaxis(tbl, tbl_axes.index("k"), -1)
     grid_axes = [a for a in tbl_axes if a != "k"]
+    if tbl.ndim == 1 and size >= onehot_mxu.MIN_FACTOR_K:
+        # wide 1-D LUT: factor the K-selection into two ~sqrt(K) one-hots
+        # combined on the MXU instead of materializing a (pixels, K) one-hot
+        # (ops/onehot_mxu.py; exact -- each row selects one table value)
+        if tbl.dtype.kind in "fc" or jnp.dtype(tbl.dtype).itemsize <= 2:
+            return onehot_mxu.lut_gather(idx, tbl).astype(tbl.dtype)
+        lo16 = (tbl & 0xFFFF).astype(jnp.float32)
+        hi16 = ((tbl >> 16) & 0xFFFF).astype(jnp.float32)
+        lo = onehot_mxu.lut_gather(idx, lo16)
+        hi = onehot_mxu.lut_gather(idx, hi16)
+        return (lo.astype(jnp.int32)
+                + (hi.astype(jnp.int32) << 16)).astype(tbl.dtype)
     oh = jax.nn.one_hot(idx, size, dtype=jnp.float32)
     hi_p = jax.lax.Precision.HIGHEST   # one-hot selection must stay exact
     if tbl.dtype.kind in "fc" or jnp.dtype(tbl.dtype).itemsize <= 2:

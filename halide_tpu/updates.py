@@ -32,6 +32,7 @@ from .bounds import BoundsEngine, Interval
 from .expr import CompileError, Expr
 from .eval_jnp import (AVal, Axis, Ctx, Realized, _static_int, eval_array,
                        evaluate, full_shape, materialize)
+from .ops import onehot_mxu
 from .visitors import exprs_equal, mutate, substitute, walk
 
 _COMBINE_OPS = ("add", "sub", "mul", "min", "max")
@@ -628,9 +629,15 @@ def _scatter_update(func, d, current, base_ctx: Ctx, rdom_axes,
                          kinds, ops, mask)
         if r is not None:
             return r
-    r = _try_unrolled_onehot(func, d, current, base_ctx, rdom_axes, ops)
-    if r is not None:
-        return r
+    if not _dense_scatter_applies(func, d, current, base_ctx, rdom_axes,
+                                  ops):
+        # the single-pass dense compare/MXU reduction (inside
+        # _general_scatter) beats `total` sequential whole-array one-hot
+        # passes whenever it applies; only fall back to the unrolled loop
+        # when it does not
+        r = _try_unrolled_onehot(func, d, current, base_ctx, rdom_axes, ops)
+        if r is not None:
+            return r
     if rdom_axes and any(op == "set" for op, _ in ops):
         # XLA's scatter-set is order-undefined for duplicate indices, but
         # Halide defines sequential RDom order for overwrites. 'set' may
@@ -849,8 +856,50 @@ def _try_unrolled_onehot(func, d, current, base_ctx: Ctx, rdom_axes, ops):
 _DENSE_SCATTER_MAX = 1024
 
 
+def _dense_scatter_applies(func, d, current, base_ctx, rdom_axes, ops):
+    """Predicts whether _general_scatter will take its dense compare/MXU
+    reduction (mirrors the gate inside _general_scatter so _scatter_update
+    can prefer it over the unrolled one-hot loop)."""
+    if not rdom_axes:
+        return False
+    if any(op not in ("add", "sub", "mul", "min", "max") for op, _ in ops):
+        return False
+    init_args = func._defs[0].args
+    identity = [isinstance(a, E.Variable) and a.name == init_args[i].name
+                for i, a in enumerate(d.args)]
+    cur0 = current[0]
+    nd = cur0.ndim
+    k_dd = 1
+    for a in range(nd):
+        if not identity[nd - 1 - a]:
+            k_dd *= cur0.shape[a]
+    if k_dd > _DENSE_SCATTER_MAX:
+        return False
+    inner = base_ctx.extended(rdom_axes)
+    grid_axes = list(rdom_axes) + [
+        base_ctx.axes[init_args[i].name]
+        for i, ident in enumerate(identity) if ident]
+    grid = 1
+    for s in full_shape(inner, grid_axes):
+        grid *= s
+    return k_dd * grid <= (1 << 31)
+
+
+def _value_abs_bound(vexpr, vtype):
+    """Max |value| if statically known (constant literal or narrow integer
+    type), for the f32-exactness gate of the factored MXU scatter."""
+    e = vexpr
+    while isinstance(e, E.Cast):
+        e = e.value
+    if isinstance(e, (E.IntImm, E.FloatImm)):
+        return abs(e.value)
+    if vtype.is_integer() and vtype.bits <= 16:
+        return max(abs(vtype.min_value()), abs(vtype.max_value()))
+    return None
+
+
 def _dense_small_scatter(cur, op, garr, np_idx, vtype, identity, inner,
-                         rdom_axes):
+                         rdom_axes, vexpr=None):
     """Scatter whose data-dependent target dims are SMALL (histograms, bin
     reductions) as a dense compare-and-reduce over the rdom:
         out[.., k, ..] op= reduce_r(g[r, ..] where lin(r, ..) == k)
@@ -871,24 +920,42 @@ def _dense_small_scatter(cur, op, garr, np_idx, vtype, identity, inner,
         lin = lin * cur.shape[a] + ia
         oob = oob | (ia < 0) | (ia >= cur.shape[a])
     lin = jnp.where(oob, K, lin)          # out-of-bounds writes drop
-    ks = jnp.arange(K, dtype=jnp.int32)
-    eq = lin[..., None] == ks
-    gb = garr[..., None]
     red_np = tuple(inner.ndim - 1 - ax.rpos for ax in rdom_axes)
-    if jnp.issubdtype(cur.dtype, jnp.floating):
-        acc_t = jnp.float32
-    else:
-        acc_t = jnp.int32
-    if op in ("add", "sub"):
-        contrib = jnp.sum(jnp.where(eq, gb, jnp.zeros((), garr.dtype)),
-                          axis=red_np, dtype=acc_t)
-    elif op == "mul":
-        contrib = jnp.prod(jnp.where(eq, gb, jnp.ones((), garr.dtype)),
-                           axis=red_np, dtype=acc_t)
-    else:
-        fill = jnp.asarray(_identity_for(op, vtype), garr.dtype)
-        red = jnp.min if op == "min" else jnp.max
-        contrib = red(jnp.where(eq, gb, fill), axis=red_np)
+    contrib = None
+    if op in ("add", "sub") and K >= onehot_mxu.MIN_FACTOR_K:
+        # factored MXU histogram: two ~sqrt(K) one-hots + a batched matmul
+        # replace the (grid, K) compare-reduce (see ops/onehot_mxu.py)
+        if jnp.issubdtype(cur.dtype, jnp.floating):
+            exact_ok = True
+        else:
+            n_red = 1
+            for ax in rdom_axes:
+                n_red *= ax.extent
+            b = _value_abs_bound(vexpr, vtype) if vexpr is not None else None
+            exact_ok = b is not None and b * n_red < (1 << 24)
+        if exact_ok:
+            lin_b = jnp.broadcast_to(lin, jnp.broadcast_shapes(
+                jnp.shape(lin), jnp.shape(garr)))
+            contrib = onehot_mxu.scatter_add_factored(
+                lin_b, garr, K, red_np)
+    if contrib is None:
+        ks = jnp.arange(K, dtype=jnp.int32)
+        eq = lin[..., None] == ks
+        gb = garr[..., None]
+        if jnp.issubdtype(cur.dtype, jnp.floating):
+            acc_t = jnp.float32
+        else:
+            acc_t = jnp.int32
+        if op in ("add", "sub"):
+            contrib = jnp.sum(jnp.where(eq, gb, jnp.zeros((), garr.dtype)),
+                              axis=red_np, dtype=acc_t)
+        elif op == "mul":
+            contrib = jnp.prod(jnp.where(eq, gb, jnp.ones((), garr.dtype)),
+                               axis=red_np, dtype=acc_t)
+        else:
+            fill = jnp.asarray(_identity_for(op, vtype), garr.dtype)
+            red = jnp.min if op == "min" else jnp.max
+            contrib = red(jnp.where(eq, gb, fill), axis=red_np)
     # contrib: (base grid dims, 1 at dd axes) + (K,); unflatten K into the
     # dd axes and fold each back into its np slot
     contrib = contrib.reshape(contrib.shape[:-1]
@@ -962,7 +1029,7 @@ def _general_scatter(func, d, current, base_ctx, inner, rdom_axes, ops,
                 and k_dd * garr.size <= (1 << 31):
             nv = _dense_small_scatter(cur, op, garr, this_idx,
                                       d.values[i].dtype, identity, inner,
-                                      rdom_axes)
+                                      rdom_axes, vexpr=g)
             out.append(nv)
             continue
         if op == "add":
