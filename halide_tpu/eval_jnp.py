@@ -106,11 +106,12 @@ class Realized:
 
 class Ctx:
     __slots__ = ("ndim", "axes", "bindings", "realizations", "params",
-                 "memo", "rng_seed", "trace", "sym_vals", "multi_read")
+                 "memo", "rng_seed", "trace", "sym_vals", "multi_read",
+                 "shared")
 
     def __init__(self, ndim: int, axes: Dict[str, Axis], bindings: dict,
                  realizations: Dict[int, Realized], params: dict,
-                 rng_seed: int = 0, trace=None, sym_vals=None):
+                 rng_seed: int = 0, trace=None, sym_vals=None, shared=None):
         self.ndim = ndim
         self.axes = axes
         self.bindings = bindings
@@ -123,10 +124,16 @@ class Ctx:
         # set by the lowering driver: ids of funcs read >1x (their
         # materializations get fusion barriers); None = barrier everything
         self.multi_read = None
+        # axis-environment-independent cache shared across derived contexts
+        # (e.g. the div-repeated producer views reused by every corner read
+        # of a grid slice); memo above is per-environment and must NOT be
+        # shared across extended()/with_bindings() variants
+        self.shared: dict = shared if shared is not None else {}
 
     def with_bindings(self, bindings: dict) -> "Ctx":
         return Ctx(self.ndim, self.axes, bindings, self.realizations,
-                   self.params, self.rng_seed, self.trace, self.sym_vals)
+                   self.params, self.rng_seed, self.trace, self.sym_vals,
+                   self.shared)
 
     def extended(self, new_axes: List[Axis]) -> "Ctx":
         axes = dict(self.axes)
@@ -134,7 +141,7 @@ class Ctx:
             axes[a.name] = a
         ndim = max([self.ndim] + [a.rpos + 1 for a in new_axes])
         return Ctx(ndim, axes, self.bindings, self.realizations, self.params,
-                   self.rng_seed, self.trace, self.sym_vals)
+                   self.rng_seed, self.trace, self.sym_vals, self.shared)
 
 
 # ---------------------------------------------------------------------------
@@ -658,6 +665,19 @@ def _read_realized(real: Realized, e: E.Call, ctx: Ctx):
     return _affine_read(P, real, args, ctx)
 
 
+def _memo_repeat(P, div, npax, ctx: Ctx):
+    """Div-repeated view of a producer, cached per (array, axis, factor) so
+    the N corner reads of an upsample/slice pattern share ONE repeat instead
+    of materializing N copies (the tuple value keeps P alive so id() stays
+    unique for the life of the cache)."""
+    key = ("divrep", id(P), npax, div)
+    hit = ctx.shared.get(key)
+    if hit is None:
+        hit = (jnp.repeat(P, div, axis=npax), P)
+        ctx.shared[key] = hit
+    return hit[0]
+
+
 def _affine_read(P, real: Realized, args, ctx: Ctx):
     """Dispatch: single-var-per-dim -> slice; multi-var affine with small
     secondary extents -> unrolled shifted slices stacked along the secondary
@@ -680,7 +700,7 @@ def _affine_read(P, real: Realized, args, ctx: Ctx):
                 dv = v.aval
                 npax = nd - 1 - j
                 if P2.shape[npax] * dv.div <= (1 << 26):
-                    P2 = jnp.repeat(P2, dv.div, axis=npax)
+                    P2 = _memo_repeat(P2, dv.div, npax, ctx)
                     mins2[j] = int(real.mins[j]) * dv.div
                     lo = v.lo if v.lo == -math.inf else v.lo * dv.div
                     hi = v.hi if v.hi == math.inf \
@@ -776,6 +796,13 @@ def _affine_read(P, real: Realized, args, ctx: Ctx):
                 r = _onehot_lut_read(P, real, args, bad, ctx)
                 if r is not None:
                     return r
+        if len(bad) == 1 and P.shape[nd2 - 1 - bad[0]] <= _BATCHED_OH_MAX:
+            # table varies along grid axes (trilinear grid slice, pyramid
+            # level select): axis-ify the dd dim, read the table through the
+            # slice machinery, select with a fused compare-sum
+            r = _batched_onehot_read(P, real, args, bad[0], ctx)
+            if r is not None:
+                return r
         # with DivAVal dims in play each branch adds repeat+slice work, so
         # keep the chain short (<=8: the local_laplacian pyramid
         # level-select); pure-slice branches can afford 32
@@ -822,7 +849,7 @@ def _affine_read(P, real: Realized, args, ctx: Ctx):
         for j, v in enumerate(args):
             if isinstance(v, DivAVal):
                 npax = nd2 - 1 - j
-                P2 = jnp.repeat(P2, v.div, axis=npax)
+                P2 = _memo_repeat(P2, v.div, npax, ctx)
                 mins2[j] = real.mins[j] * v.div
                 args2.append(AVal({v.var: 1}, v.const))
             else:
@@ -1110,6 +1137,192 @@ def _contract_precision():
 
 
 _LUT_ONEHOT_MAX = 1024
+_BATCHED_OH_MAX = 256
+_OH_SEQ = [0]
+
+
+def _batched_onehot_read(P, real: Realized, args, j, ctx: Ctx):
+    """One SMALL data-dependent dim whose table varies along grid axes (the
+    trilinear-slice / pyramid-level-select pattern, e.g. bilateral_grid's
+    blury[x/8 + dx, y/8 + dy, zi(x, y), c]).
+
+    The 1-D one-hot contraction (_onehot_lut_read1) requires the index to be
+    constant along every axis the table varies over; here it is not. Instead:
+    extend the evaluation context with a synthetic axis k spanning the dd
+    dim, read the table through the ordinary affine/slice machinery (which
+    already handles Div/clamp/stride dims via repeat+slice), and select with
+    sum_k where(idx == k, T[k], 0) -- one fused XLA pass, exact (one term
+    per output is nonzero, so the additive identity never rounds), and no
+    per-element gather (reference: apps/bilateral_grid generator's sliced
+    output; TPU gathers serialize)."""
+    nd = P.ndim
+    size = P.shape[nd - 1 - j]
+    if not _is_static(real.mins[j]):
+        return None
+    _OH_SEQ[0] += 1
+    kname = f"__oh_k{_OH_SEQ[0]}"
+
+    # Block-structured div dims (the grid-slice pattern): table dims indexed
+    # by (x + c)//d with c % d == 0. Repeating the producer d-fold would
+    # materialize the k-axis at FULL pixel resolution (a K-times blowup that
+    # XLA cannot fuse through the repeat's reshape). Instead split each such
+    # consumer axis x -> (xo, xr): the table is then read at coarse (xo)
+    # resolution and broadcasts over xr for free; only the final (already
+    # k-reduced) result is reshaped back.
+    splits = {}           # var name -> (div, Axis)
+    for j2, v in enumerate(args):
+        if j2 == j:
+            continue
+        av = v.aval if isinstance(v, ClampedAVal) else v
+        if not isinstance(av, DivAVal):
+            continue
+        ax = ctx.axes.get(av.var)
+        if ax is None or not _is_static(ax.min):
+            return None
+        if ax.rpos == 0:
+            # never split the minor (lane) axis: an xr-minor layout runs at
+            # d/128 lane utilization and the merge reshape relayouts; the
+            # lane-axis div goes through the memoized producer repeat instead
+            continue
+        d = av.div
+        prev = splits.get(av.var)
+        if prev is not None and prev[0] != d:
+            return None    # same var divided by two factors: fall back
+        if av.const % d != 0 or int(ax.min) % d != 0 or ax.extent % d != 0:
+            return None
+        splits[av.var] = (d, ax)
+    for j2, v in enumerate(args):
+        # a split var must not also be read undivided
+        if j2 == j:
+            continue
+        av = v.aval if isinstance(v, ClampedAVal) else v
+        if isinstance(av, AVal) and any(n in splits for n in av.coeffs):
+            return None
+
+    if not splits:
+        kax = Axis(kname, ctx.ndim, int(real.mins[j]), size)
+        ctx2 = ctx.extended([kax])
+        args2 = list(args)
+        args2[j] = AVal({kname: 1}, 0)
+        try:
+            T = _affine_read(P, real, args2, ctx2)
+        except CompileError:
+            return None
+        T = jnp.asarray(T)
+        if T.ndim < ctx2.ndim:
+            T = T.reshape((1,) * (ctx2.ndim - T.ndim) + T.shape)
+        idx = jnp.asarray(args[j])
+        idx = jnp.clip(idx - int(real.mins[j]), 0, size - 1)
+        if idx.ndim < ctx.ndim:
+            idx = idx.reshape((1,) * (ctx.ndim - idx.ndim) + idx.shape)
+        kv = jnp.arange(size, dtype=jnp.int32).reshape(
+            (size,) + (1,) * ctx.ndim)
+        eq = idx[None] == kv
+        zero = jnp.zeros((), T.dtype)
+        return jnp.sum(jnp.where(eq, T, zero), axis=0, dtype=T.dtype)
+
+    # build the split context: np order of the original grid, with each
+    # split axis replaced by (xo, xr) adjacent pairs, and k leading
+    order = [None] * ctx.ndim          # np position -> axis or None
+    for a in ctx.axes.values():
+        order[ctx.ndim - 1 - a.rpos] = a
+    new_order = []                     # (name, min, extent) np order
+    merge_info = []                    # per original np slot: 1 or 2 dims
+    sub_of = {}                        # var -> (xo_name, xr_name, d)
+    for slot, a in enumerate(order):
+        if a is not None and a.name in splits:
+            d, _ = splits[a.name]
+            xo = (f"__sp_o{_OH_SEQ[0]}_{a.name}", int(a.min) // d,
+                  a.extent // d)
+            xr = (f"__sp_r{_OH_SEQ[0]}_{a.name}", 0, d)
+            sub_of[a.name] = (xo[0], xr[0], d)
+            new_order.extend([xo, xr])
+            merge_info.append(2)
+        elif a is not None:
+            new_order.append((a.name, a.min, a.extent))
+            merge_info.append(1)
+        else:
+            new_order.append(None)
+            merge_info.append(1)
+    nd3 = len(new_order) + 1           # + leading k axis
+    axes3 = {}
+    for nppos, ent in enumerate(new_order):
+        if ent is None:
+            continue
+        nm, mn, ext = ent
+        axes3[nm] = Axis(nm, nd3 - 1 - (nppos + 1), mn, ext)
+    axes3[kname] = Axis(kname, nd3 - 1, int(real.mins[j]), size)
+    ctx3 = Ctx(nd3, axes3, ctx.bindings, ctx.realizations, ctx.params,
+               ctx.rng_seed, ctx.trace, ctx.sym_vals, ctx.shared)
+
+    def rewrite(v):
+        av = v.aval if isinstance(v, ClampedAVal) else v
+        if isinstance(av, DivAVal) and av.var in sub_of:
+            xo_name, _, d = sub_of[av.var]
+            out = AVal({xo_name: 1}, av.const // d)
+            if isinstance(v, ClampedAVal):
+                return ClampedAVal(out, v.lo, v.hi)
+            return out
+        return v
+
+    args3 = [rewrite(v) for v in args]
+    args3[j] = AVal({kname: 1}, 0)
+    try:
+        T = _affine_read(P, real, args3, ctx3)
+    except CompileError:
+        return None
+    T = jnp.asarray(T)
+    if T.ndim < nd3:
+        T = T.reshape((1,) * (nd3 - T.ndim) + T.shape)
+    # the index array, reshaped into the split grid (size-1 slots stay 1x1)
+    idx = jnp.asarray(args[j])
+    idx = jnp.clip(idx - int(real.mins[j]), 0, size - 1)
+    if idx.ndim < ctx.ndim:
+        idx = idx.reshape((1,) * (ctx.ndim - idx.ndim) + idx.shape)
+    new_shape = []
+    for slot, nsub in enumerate(merge_info):
+        e = idx.shape[slot]
+        if nsub == 1:
+            new_shape.append(e)
+        elif e == 1:
+            new_shape.extend([1, 1])
+        else:
+            d = splits[order[slot].name][0]
+            new_shape.extend([e // d, d])
+    idx3 = idx.reshape(tuple(new_shape))
+    kv = jnp.arange(size, dtype=jnp.int32).reshape(
+        (size,) + (1,) * (nd3 - 1))
+    eq = idx3[None] == kv
+    zero = jnp.zeros((), T.dtype)
+    out = jnp.sum(jnp.where(eq, T, zero), axis=0, dtype=T.dtype)
+    # merge each (xo, xr) pair back into its original axis: a pair where
+    # either half varies must be broadcast to (extent/d, d) first, else the
+    # merged axis would come out neither full nor broadcastable
+    tgt = []
+    p2 = 0
+    for slot, nsub in enumerate(merge_info):
+        if nsub == 1:
+            tgt.append(out.shape[p2])
+            p2 += 1
+        else:
+            a = order[slot]
+            d = splits[a.name][0]
+            if out.shape[p2] > 1 or out.shape[p2 + 1] > 1:
+                tgt.extend([a.extent // d, d])
+            else:
+                tgt.extend([1, 1])
+            p2 += 2
+    out = jnp.broadcast_to(out, tuple(tgt))
+    final_shape = []
+    p2 = 0
+    for slot, nsub in enumerate(merge_info):
+        if nsub == 1:
+            final_shape.append(out.shape[p2])
+            p2 += 1
+        else:
+            final_shape.append(out.shape[p2] * out.shape[p2 + 1])
+            p2 += 2
+    return out.reshape(tuple(final_shape))
 
 
 def _onehot_lut_read(P, real: Realized, args, bad, ctx: Ctx):
