@@ -123,17 +123,21 @@ def build(width: int = 1536, height: int = 2560, s_sigma: int = 8,
     line.compute_root()
 
     big_sigma = s_sigma * upsample
-    yf = hl.f32(y) / big_sigma
-    yi = hl.i32(hl.floor(yf))
+    # integer-div cell indices (y >= 0 so floor(f32(y)/B) == y/B exactly,
+    # and f32(y)/B is exact for power-of-two B): the affine machinery then
+    # keeps the lerp reads on the slice path instead of a per-pixel gather
+    yi = y / big_sigma
+    yf = hl.f32(y) / big_sigma - hl.f32(yi)
     imy = hl.Func("bgu_imy")
-    imy[x, y, z, c] = hl.lerp(line[x, yi, z, c], line[x, yi + 1, z, c],
-                              yf - yi)
-    xf = hl.f32(x) / big_sigma
-    xi = hl.i32(hl.floor(xf))
+    imy[x, y, z, c] = hl.lerp(line[x, yi, z, c], line[x, yi + 1, z, c], yf)
+    xi = x / big_sigma
+    xf = hl.f32(x) / big_sigma - hl.f32(xi)
     imx = hl.Func("bgu_imx")
-    imx[x, y, z, c] = hl.lerp(imy[xi, y, z, c], imy[xi + 1, y, z, c],
-                              xf - xi)
-    imx.compute_root()
+    imx[x, y, z, c] = hl.lerp(imy[xi, y, z, c], imy[xi + 1, y, z, c], xf)
+    # imx stays inline: materializing it would write a full-res x,y,z,c
+    # tensor (~17x the output); inlined, the z-selection in imz collapses
+    # the z axis against the coarse `line` grid before anything full-res
+    # is stored (TPU: bandwidth is the budget)
 
     nbins = int(1.0 / r_sigma)
     val2 = hl.clamp(gray_slice[x, y], 0.0, 1.0)

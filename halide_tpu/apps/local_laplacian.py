@@ -22,6 +22,10 @@ def _downsample(f, vars_):
                     + 3.0 * (downy[(2 * x, y) + rest]
                              + downy[(2 * x + 1, y) + rest])
                     + downy[(2 * x + 2, y) + rest]) / 8.0
+    # TPU: materialize between the separable stages -- fusing stride-2
+    # reads on both axes into one kernel runs ~9x slower on v5e (double
+    # decimation defeats the tiled lane/sublane layout; see interpolate)
+    downy.compute_root()
     return downx
 
 

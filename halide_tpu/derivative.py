@@ -40,28 +40,58 @@ def propagate_adjoints(output, adjoint=None, sizes=None, wrt=None):
               [p for p in params if p.type.is_float()]
     wrt_ids = [id(w) for w in wrt]
 
-    fn, input_arrays, _regions, presets = pipeline._prepare(sizes, jit=False)
-    # map wrt objects to argument positions
+    # map wrt objects to argument positions; scalar Params become traced
+    # value arguments of a purpose-built executor
+    # (reference: src/Derivative.h:52-71 — scalar param adjoints)
     obj_order = list(g.inputs.values())
-    pos = []
+    pos = []            # (kind, index-within-kind) per wrt entry
+    scalar_params = []
     for w in wrt:
         if isinstance(w, ImageParam):
             try:
-                pos.append(obj_order.index(w))
+                pos.append(("img", obj_order.index(w)))
             except ValueError:
                 raise CompileError(f"{w.name} is not an input of the pipeline")
+        elif isinstance(w, Param):
+            pos.append(("param", len(scalar_params)))
+            scalar_params.append(w)
         else:
-            raise CompileError(
-                "gradients w.r.t. scalar Params require them to be traced; "
-                "bind them as 1-element ImageParams for now")
+            raise CompileError(f"cannot differentiate w.r.t. {w!r}")
+
+    if scalar_params:
+        regions = pipeline._out_regions(sizes)
+        input_objs = []
+        input_arrays = []
+        for t in g.inputs.values():
+            buf = t.get() if isinstance(t, ImageParam) else t
+            input_objs.append((t, buf))
+            input_arrays.append(buf.data)
+        param_vals = {id(p): p.get() for p in g.params.values()}
+        fn = pipeline._build_fn(
+            g, regions, input_objs, param_vals,
+            traced_param_ids=tuple(id(p) for p in scalar_params))
+        presets = ()
+        param_arrays0 = tuple(
+            jnp.asarray(p.get(), p.type.to_np()) for p in scalar_params)
+    else:
+        fn, input_arrays, _regions, presets = pipeline._prepare(
+            sizes, jit=False)
+        param_arrays0 = ()
 
     adj = adjoint
 
     def loss(*wrt_arrays):
         full = list(input_arrays)
-        for p, a in zip(pos, wrt_arrays):
-            full[p] = a
-        outs = fn(tuple(full), presets)
+        pvals = list(param_arrays0)
+        for (kind, p), a in zip(pos, wrt_arrays):
+            if kind == "img":
+                full[p] = a
+            else:
+                pvals[p] = a
+        if scalar_params:
+            outs = fn(tuple(full), presets, tuple(pvals))
+        else:
+            outs = fn(tuple(full), presets)
         total = 0.0
         for per_func in outs:
             for arr in per_func:
@@ -71,6 +101,7 @@ def propagate_adjoints(output, adjoint=None, sizes=None, wrt=None):
                 total = total + jnp.sum(a2)
         return total
 
-    grads = jax.grad(loss, argnums=tuple(range(len(pos))))(
-        *[input_arrays[p] for p in pos])
+    seeds = [input_arrays[p] if kind == "img" else param_arrays0[p]
+             for (kind, p) in pos]
+    grads = jax.grad(loss, argnums=tuple(range(len(pos))))(*seeds)
     return {wrt[i].name: np.asarray(grads[i]) for i in range(len(pos))}

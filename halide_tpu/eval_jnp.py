@@ -320,7 +320,7 @@ def _eval(e: Expr, ctx: Ctx):
         v = evaluate(e.value, ctx)
         if e.dtype == e.value.dtype:
             return v
-        if isinstance(v, (AVal, ClampedAVal)):
+        if isinstance(v, (AVal, ClampedAVal, DivAVal)):
             if e.dtype == Int(32) or (e.dtype == Int(64)):
                 return v  # index arithmetic is exact; keep affine form
             v = materialize(v, ctx)

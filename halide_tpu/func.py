@@ -706,14 +706,18 @@ class Func:
         raise AttributeError(f"Func has no attribute {item!r}")
 
     def define_extern(self, name, callback, input_sources=None,
-                      output_type=None, dimensions=None, footprint=None):
+                      output_type=None, dimensions=None, footprint=None,
+                      bounds_query=None):
         """Define this Func as an extern stage (reference:
         src/Function.h:247 define_extern + the bounds-query protocol,
         BoundsInference.cpp:452-506). `callback(*input_np_arrays) ->
         np_array` runs on the host via jax.pure_callback;
         `footprint(output_box) -> [input_boxes]` is the analog of the
         null-host bounds query (defaults to passing the output box
-        through)."""
+        through); `bounds_query(output_box) -> Box` lets the stage ROUND UP
+        the region it will actually produce (e.g. alignment) -- the
+        reference's DOUBLE query: outputs are re-queried first, then the
+        inputs are sized from the rounded-up output."""
         from .htypes import Float
         if self._defs:
             raise CompileError(f"{self.name} is already defined")
@@ -724,6 +728,7 @@ class Func:
             "type": output_type or Float(32),
             "dims": int(dimensions if dimensions is not None else 2),
             "footprint": footprint,
+            "bounds_query": bounds_query,
         }
         self._args = tuple(Var(f"_e{i}") for i in range(self._extern["dims"]))
         return self

@@ -244,10 +244,16 @@ class _BoundsPass:
 
     def _footprints(self, f: Func, box: Box):
         if f.is_extern():
-            # bounds-query protocol: ask the stage which input boxes it
-            # needs for this output box (reference: extern_output_aottest)
+            # double bounds-query protocol (reference:
+            # BoundsInference.cpp:452-506): first let the stage round UP the
+            # output region it will actually produce, then size the inputs
+            # from that rounded region
+            bq = f._extern.get("bounds_query")
+            if bq is not None:
+                grown = bq(Box(list(box.dims)))
+                box.union(grown)
             fp = f._extern["footprint"]
-            in_boxes = fp(box) if fp is not None else [
+            in_boxes = fp(Box(list(box.dims))) if fp is not None else [
                 Box(list(box.dims)) for _ in f._extern["inputs"]]
             for src, b2 in zip(f._extern["inputs"], in_boxes):
                 dst = self.boxes.setdefault(
@@ -568,12 +574,16 @@ class Pipeline:
         return self._package(arrays, regions, sizes, dst)
 
     def _build_fn(self, g: _Graph, regions, input_objs, param_vals,
-                  presets=None):
+                  presets=None, traced_param_ids=()):
+        """traced_param_ids: scalar Params whose VALUES are passed as traced
+        arrays (third argument of the returned fn) so jax.grad can
+        differentiate through them (reference: src/Derivative.h:52-71 scalar
+        param adjoints); their bounds-time values stay the static ones."""
         presets = presets or {}
         preset_shapes = [(fid, mins, len(arrs))
                          for fid, (mins, arrs) in presets.items()]
 
-        def run(inp_arrays, preset_arrays=()):
+        def run(inp_arrays, preset_arrays=(), param_arrays=()):
             realizations: Dict[int, Realized] = {}
             for (t, buf), arr in zip(input_objs, inp_arrays):
                 realizations[id(t)] = Realized(
@@ -625,9 +635,10 @@ class Pipeline:
             # evaluated standalone (same values — schedules are
             # semantics-preserving)
             from .ops.pallas_group import find_tile, try_pallas_group
-            ctx0 = Ctx(0, {}, {}, realizations,
-                       {k: v for k, v in param_vals.items()},
-                       trace=self.trace)
+            pdict = {k: v for k, v in param_vals.items()}
+            for pid, arr in zip(traced_param_ids, param_arrays):
+                pdict[pid] = arr
+            ctx0 = Ctx(0, {}, {}, realizations, pdict, trace=self.trace)
             ctx0.multi_read = _multi_read_ids(g)
             deferred: Dict[int, List[Func]] = {}
 
@@ -872,14 +883,30 @@ def _evaluate_extern(f: Func, box: Box, ctx0: Ctx) -> Realized:
     (reference: SURVEY.md §2.1 'Extern stages' — jax.pure_callback with the
     same bounds-query contract)."""
     meta = f._extern
+    fp = meta.get("footprint")
+    in_boxes = fp(Box(list(box.dims))) if fp is not None else [
+        Box(list(box.dims)) for _ in meta["inputs"]]
     in_arrays = []
-    for src in meta["inputs"]:
+    for src, b2 in zip(meta["inputs"], in_boxes):
         real = ctx0.realizations.get(id(src))
         if real is None:
             raise CompileError(
                 f"extern stage {f.name}: input "
                 f"{getattr(src, 'name', src)} not realized")
-        in_arrays.append(real.arrays[0])
+        arr = real.arrays[0]
+        # the callback sees exactly the queried region (reference: the
+        # extern receives halide_buffer_ts cropped to the bounds query)
+        nd = arr.ndim
+        idx = []
+        for i in reversed(range(len(b2.dims))):
+            off = int(b2.dims[i].lo) - int(real.mins[i])
+            ext = int(b2.dims[i].extent())
+            if off < 0 or off + ext > arr.shape[len(idx)]:
+                raise CompileError(
+                    f"extern stage {f.name}: queried region of "
+                    f"{getattr(src, 'name', src)} exceeds its realization")
+            idx.append(slice(off, off + ext))
+        in_arrays.append(arr[tuple(idx)])
     out_shape = tuple(reversed(box.extents()))
     result = jax.pure_callback(
         meta["callback"],

@@ -61,3 +61,21 @@ def test_gradient_through_reduction():
         for rr in range(4):
             count[xx + rr] += 1
     np.testing.assert_allclose(grads["rimg"], 2 * data * count, rtol=1e-5)
+
+
+def test_gradient_scalar_param():
+    # reference: src/Derivative.h:52-71 -- adjoints w.r.t. scalar params
+    x = hl.Var("x")
+    img = hl.ImageParam(hl.Float(32), 1, "pimg")
+    gain = hl.Param(hl.Float(32), "gain")
+    bias = hl.Param(hl.Float(32), "bias")
+    f = hl.Func("gp")
+    f[x] = gain * img[x] * img[x] + bias
+    data = np.arange(4, dtype=np.float32)
+    img.set(data)
+    gain.set(2.5)
+    bias.set(0.5)
+    grads = hl.propagate_adjoints(f, sizes=[4], wrt=[gain, bias, img])
+    np.testing.assert_allclose(grads["gain"], np.sum(data * data), rtol=1e-6)
+    np.testing.assert_allclose(grads["bias"], 4.0, rtol=1e-6)
+    np.testing.assert_allclose(grads["pimg"], 2.5 * 2 * data, rtol=1e-6)

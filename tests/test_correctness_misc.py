@@ -195,3 +195,38 @@ def test_clamped_strided_read():
     ga = np.asarray(hl.Pipeline(g).realize([8]))
     gref = a[np.clip(7 - 2 * np.arange(8), 2, 6)]
     assert (ga == gref).all(), (ga, gref)
+
+
+def test_extern_double_bounds_query():
+    """The stage rounds its output up to a multiple of 4; inputs must be
+    sized from the ROUNDED box (reference: BoundsInference.cpp:452-506)."""
+    from halide_tpu.bounds import Box, Interval
+    x = hl.Var("x")
+    inp = hl.ImageParam(hl.Float(32), 1, "dq_in")
+    data = np.arange(32, dtype=np.float32)
+    inp.set(data)
+    fp_boxes = []
+
+    def bounds_query(out_box):
+        lo = out_box.dims[0].lo
+        hi = out_box.dims[0].hi
+        ext = hi - lo + 1
+        ext4 = -(-ext // 4) * 4
+        return Box([Interval(lo, lo + ext4 - 1)])
+
+    def footprint(out_box):
+        fp_boxes.append((out_box.dims[0].lo, out_box.dims[0].hi))
+        return [Box([out_box.dims[0]])]
+
+    def callback(arr):
+        return (arr * 3.0).astype(np.float32)
+
+    ext = hl.Func("dq_stage")
+    ext.define_extern("dq_stage", callback, [inp],
+                      output_type=hl.Float(32), dimensions=1,
+                      footprint=footprint, bounds_query=bounds_query)
+    out = hl.Func("dq_out")
+    out[x] = ext[x] + 1.0
+    res = out.realize([7]).to_numpy()      # 7 -> stage produces 8
+    np.testing.assert_allclose(res, data[:7] * 3 + 1)
+    assert fp_boxes and fp_boxes[0] == (0, 7), fp_boxes  # rounded to 8 wide
