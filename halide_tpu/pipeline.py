@@ -59,6 +59,10 @@ def _all_def_exprs(f: Func):
                     yield rv.rmin
                 if rv.rextent is not None:
                     yield rv.rextent
+    # specialization conditions reference params/input dims that must enter
+    # the jit key (they select the compiled variant)
+    for s in getattr(f, "_specializations", ()):
+        yield s.condition
 
 
 def _scan_expr_targets(e: Expr, on_func, on_input, on_param):
@@ -114,6 +118,8 @@ def gather_graph(outputs: List[Func]) -> _Graph:
             return True
         if getattr(f, "_specializations", None):
             return True
+        if any(d.schedule.fused_with for d in f._defs):
+            return True   # compute_with members share one materialization
         return False
 
     def visit(f: Func):
@@ -149,6 +155,61 @@ def gather_graph(outputs: List[Func]) -> _Graph:
         if f in outputs or want_materialize(f):
             g.materialized[id(f)] = f
     return g
+
+
+def _fusion_cliques(g: _Graph) -> Dict[int, List[Func]]:
+    """compute_with cliques among materialized funcs: id(member) -> clique
+    (funcs in dependency order). Members must be mutually independent
+    (reference: Func::compute_with legality, src/ScheduleFunctions.cpp)."""
+    parent: Dict[int, int] = {}
+
+    def find(a):
+        while parent.get(a, a) != a:
+            parent[a] = parent.get(parent[a], parent[a])
+            a = parent[a]
+        return a
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+
+    by_id = {id(f): f for f in g.funcs}
+    any_fused = False
+    for f in g.funcs:
+        for d in f._defs:
+            for (other, _var) in d.schedule.fused_with:
+                of = other[0] if isinstance(other, tuple) else other
+                if id(of) in by_id and id(f) in g.materialized \
+                        and id(of) in g.materialized \
+                        and not f.is_extern() and not of.is_extern():
+                    union(id(f), id(of))
+                    any_fused = True
+    if not any_fused:
+        return {}
+    groups: Dict[int, List[Func]] = {}
+    for f in g.funcs:
+        if id(f) not in g.materialized:
+            continue
+        groups.setdefault(find(id(f)), []).append(f)
+    out: Dict[int, List[Func]] = {}
+    for clique in groups.values():
+        if len(clique) < 2:
+            continue
+        ids = {id(m) for m in clique}
+        for m in clique:
+            for e in _all_def_exprs(m):
+                def check(n):
+                    if isinstance(n, E.Call) and id(n.target) in ids \
+                            and n.target is not m:
+                        raise CompileError(
+                            f"compute_with: {m.name} reads "
+                            f"{n.target.name}; fused stages must be "
+                            f"independent")
+                walk(e, check)
+        for m in clique:
+            out[id(m)] = clique
+    return out
 
 
 def _multi_read_ids(g: _Graph) -> set:
@@ -445,10 +506,34 @@ class Pipeline:
                             for a in arrs)
         fn = self._jit_cache.get(key)
         if fn is None:
-            fn = self._build_fn(g, regions, input_objs, dict(param_vals),
-                                presets)
-            if jit:
-                fn = jax.jit(fn)
+            run = self._build_fn(g, regions, input_objs, dict(param_vals),
+                                 presets)
+            if any(getattr(f, "_specializations", None) for f in g.funcs):
+                # specialization ladders: the key above pins every param
+                # value and input shape, so one compile = one branch of each
+                # ladder (reference: src/Func.h:1770-1842). Conditions are
+                # resolved HERE (outside any trace); the lowering happens
+                # when `run` traces, so the chosen variants' directives are
+                # applied around each invocation (idempotent; under jit this
+                # is trace time only).
+                from .specialize import apply_all as _spec_apply
+                from .specialize import restore as _spec_restore
+                from .specialize import select as _spec_select
+                cond_realz = {
+                    id(t): Realized((buf.data,), buf._mins,
+                                    getattr(t, "name", "buf"))
+                    for (t, buf) in input_objs}
+                chosen = _spec_select(g, cond_realz, dict(param_vals))
+                inner_run = run
+
+                def run(inp_arrays, preset_arrays=(), param_arrays=()):
+                    undo = _spec_apply(chosen)
+                    try:
+                        return inner_run(inp_arrays, preset_arrays,
+                                         param_arrays)
+                    finally:
+                        _spec_restore(undo)
+            fn = jax.jit(run) if jit else run
             self._jit_cache[key] = fn
         return fn, input_arrays, regions, preset_args
 
@@ -657,6 +742,38 @@ class Pipeline:
                     self.trace.record_realization(
                         fn, b, realizations[id(fn)].arrays)
 
+            cliques = _fusion_cliques(g)
+
+            def eval_clique(clique):
+                """compute_with: members are lowered together and pinned by
+                ONE joint barrier, so XLA forms a single multi-output fusion
+                over their shared producers instead of one pass per func
+                (reference: src/ScheduleFunctions.cpp:303-356 fused loop
+                nests; the array analog of sharing the loop)."""
+                evald = []
+                for m in clique:
+                    b = bp.boxes.get(id(m))
+                    if b is None or not b.defined():
+                        continue
+                    evald.append((m, b, _evaluate_func(m, b, ctx0,
+                                                       defer_barrier=True)))
+                flat = []
+                counts = []
+                for (_m, _b, r) in evald:
+                    flat.extend(r.arrays)
+                    counts.append(len(r.arrays))
+                flat = list(jax.lax.optimization_barrier(tuple(flat)))
+                off2 = 0
+                for (m, b, r), narr in zip(evald, counts):
+                    arrs = tuple(flat[off2:off2 + narr])
+                    off2 += narr
+                    realizations[id(m)] = Realized(arrs, r.mins, m.name)
+                    fs = m._fschedule
+                    if self.trace is not None and (
+                            fs.trace_stores or fs.trace_realizations
+                            or fs.trace_loads):
+                        self.trace.record_realization(m, b, arrs)
+
             for f in g.funcs:
                 if id(f) not in g.materialized:
                     continue
@@ -666,6 +783,12 @@ class Pipeline:
                 lvl = f._fschedule.compute_level
                 if lvl.kind == "at" and id(lvl.func) in g.materialized:
                     deferred.setdefault(id(lvl.func), []).append(f)
+                    continue
+                clique = cliques.get(id(f))
+                if clique is not None:
+                    if f is not clique[-1]:
+                        continue       # lowered together when the last
+                    eval_clique(clique)
                     continue
                 members = deferred.pop(id(f), [])
                 real = None
@@ -924,7 +1047,8 @@ def _static_expr_int(e) -> int:
     return _static_int(e, _C(0, {}, {}, {}, {}))
 
 
-def _evaluate_func(f: Func, box: Box, ctx0: Ctx) -> Realized:
+def _evaluate_func(f: Func, box: Box, ctx0: Ctx,
+                   defer_barrier: bool = False) -> Realized:
     if f.is_extern():
         return _evaluate_extern(f, box, ctx0)
     n = f.dimensions()
@@ -968,8 +1092,8 @@ def _evaluate_func(f: Func, box: Box, ctx0: Ctx) -> Realized:
     # chains) stay fusable: barriering them ballooned resnet-50's compile
     # past 8 minutes.
     import os as _os
-    if _os.environ.get("HT_NO_BARRIER"):
-        pass
+    if _os.environ.get("HT_NO_BARRIER") or defer_barrier:
+        pass   # compute_with cliques barrier jointly at the caller
     elif len(f._defs) > 1 or getattr(ctx0, "multi_read", None) is None \
             or id(f) in ctx0.multi_read:
         current = list(jax.lax.optimization_barrier(tuple(current)))

@@ -153,6 +153,20 @@ class StageSchedule:
     def has_dim(self, name: str) -> bool:
         return any(d.var == name for d in self.dims)
 
+    # specialization variants apply directives for one compile only
+    # (reference: src/Func.h:1770-1842 -- each branch of the if-ladder is an
+    # independently scheduled copy); snapshot/restore bounds the mutation
+    def snapshot(self):
+        return (list(self.splits), [dataclasses.replace(d) for d in self.dims],
+                self.atomic, self.allow_races, list(self.fused_with),
+                self.rfactored_from)
+
+    def restore(self, snap):
+        (self.splits, self.dims, self.atomic, self.allow_races,
+         self.fused_with, self.rfactored_from) = (
+            list(snap[0]), [dataclasses.replace(d) for d in snap[1]],
+            snap[2], snap[3], list(snap[4]), snap[5])
+
 
 class FuncSchedule:
     """Per-func schedule (reference: src/Schedule.h:571)."""
@@ -172,3 +186,22 @@ class FuncSchedule:
         self.trace_realizations = False
         self.no_profiling = False
         self.tags: List[str] = []
+
+    def snapshot(self):
+        cl = LoopLevel(self.compute_level.func, self.compute_level.var,
+                       self.compute_level.kind)
+        sl = LoopLevel(self.store_level.func, self.store_level.var,
+                       self.store_level.kind)
+        return (cl, sl, list(self.bounds), list(self.estimates),
+                list(self.storage_dims), self.memoized,
+                self.memoize_eviction_key, self.is_async,
+                self.ring_buffer_extent, list(self.tags))
+
+    def restore(self, snap):
+        self.compute_level = LoopLevel(snap[0].func, snap[0].var,
+                                       snap[0].kind)
+        self.store_level = LoopLevel(snap[1].func, snap[1].var, snap[1].kind)
+        (self.bounds, self.estimates, self.storage_dims, self.memoized,
+         self.memoize_eviction_key, self.is_async, self.ring_buffer_extent,
+         self.tags) = (list(snap[2]), list(snap[3]), list(snap[4]), snap[5],
+                       snap[6], snap[7], snap[8], list(snap[9]))

@@ -230,3 +230,53 @@ def test_extern_double_bounds_query():
     res = out.realize([7]).to_numpy()      # 7 -> stage produces 8
     np.testing.assert_allclose(res, data[:7] * 3 + 1)
     assert fp_boxes and fp_boxes[0] == (0, 7), fp_boxes  # rounded to 8 wide
+
+
+def test_compute_with_forms_one_fused_group():
+    """Fused siblings are lowered together under ONE joint barrier
+    (reference: src/ScheduleFunctions.cpp:303-356)."""
+    import halide_tpu.pipeline as P
+    joint = []
+    orig = P._evaluate_func
+
+    def spy(f, box, ctx0, defer_barrier=False):
+        if defer_barrier:
+            joint.append(f.name)
+        return orig(f, box, ctx0, defer_barrier)
+
+    P._evaluate_func = spy
+    try:
+        x, y = hl.Var("x"), hl.Var("y")
+        src = hl.Func("cwf_src")
+        src[x, y] = hl.f32(x) * 2.0 + y
+        src.compute_root()
+        ix, iy = hl.Func("cwf_ix"), hl.Func("cwf_iy")
+        ix[x, y] = src[x + 1, y] - src[x - 1, y]
+        iy[x, y] = src[x, y + 1] - src[x, y - 1]
+        ix.compute_root()
+        iy.compute_root()
+        ix.compute_with(iy, x)
+        out = hl.Func("cwf_out")
+        out[x, y] = ix[x, y] * iy[x, y]
+        res = out.realize([4, 3], jit=False).to_numpy()
+        sx = lambda xx, yy: np.float32(xx) * 2 + yy
+        xs = np.arange(4)[None, :]
+        ys = np.arange(3)[:, None]
+        ref = (sx(xs + 1, ys) - sx(xs - 1, ys)) * (sx(xs, ys + 1)
+                                                   - sx(xs, ys - 1))
+        np.testing.assert_allclose(res, ref)
+        assert sorted(joint) == ["cwf_ix", "cwf_iy"], joint
+    finally:
+        P._evaluate_func = orig
+
+
+def test_compute_with_rejects_dependent_stages():
+    x = hl.Var("x")
+    a, b = hl.Func("cwd_a"), hl.Func("cwd_b")
+    a[x] = x * 2
+    b[x] = a[x] + 1          # b depends on a
+    a.compute_root()
+    b.compute_root()
+    a.compute_with(b, x)
+    with pytest.raises(hl.CompileError, match="independent"):
+        b.realize([4])
