@@ -26,8 +26,10 @@ def build(width: int = 2560, height: int = 1536) -> App:
 
     # schedule: one Pallas kernel per row-band -- full-width tiles, blur_x
     # staged in VMEM (reference: apps/blur/halide_blur_generator.cpp:98-110
-    # tile+vectorize+parallel). Measured v5e: 0.087ms (XLA fusion) ->
-    # ~0.03-0.05ms through the kernel path at 2560x1536 u16.
+    # tile+vectorize+parallel). Measured v5e: 0.081ms (XLA fusion) ->
+    # 0.048ms through the kernel path at 2560x1536 u16 (megacore split
+    # over row-bands; narrower tiles engage double-buffered DMA but
+    # full-width wins here).
     xo, yo, xi, yi = hl.Var("xo"), hl.Var("yo"), hl.Var("xi"), hl.Var("yi")
     blur_y.tile(x, y, xo, yo, xi, yi, max(width - 2, 8), 128) \
           .vectorize(xi).parallel(yo)

@@ -7,10 +7,14 @@ schedule plus producers `compute_at` that consumer becomes ONE Pallas kernel:
 - the tile               -> the Pallas grid (+ RoundUp padding, host crop)
 - compute_at producers   -> values computed inside the kernel over their
                             halo'd footprint (VMEM-resident, registers)
-- external inputs        -> whole-array VMEM refs, read with pl.ds at
-                            traced tile origins (v1 requires them to fit the
-                            VMEM budget; DMA-from-HBM staging is the planned
-                            extension, SURVEY.md §2.5 "async")
+- external inputs        -> HBM refs staged tile-by-tile into VMEM scratch
+                            via async DMA; when the inner grid dim iterates,
+                            the next tile's DMA is DOUBLE-BUFFERED across
+                            grid steps so loads overlap compute (the
+                            reference's async()/ring_buffer latency hiding,
+                            src/AsyncProducers.cpp, lesson_24_async)
+- parallel() on a tile   -> Mosaic "parallel" dimension semantics (megacore
+                            core-splitting, the halide_do_par_for analog)
 - vectorize marks        -> advisory (arrays are already VPU tiles)
 
 Anything the kernel tracer cannot lower (clamps at traced origins,
@@ -36,6 +40,10 @@ from ..schedule import ForType
 from ..visitors import walk
 
 _VMEM_BUDGET = 10 * 1024 * 1024
+
+# diagnostics: the most recent group's lowering plan (tests assert the
+# pipelined-DMA / megacore decisions without needing TPU hardware)
+_last_plan: Optional[dict] = None
 
 
 def _cdiv(a, b):
@@ -271,6 +279,18 @@ def try_pallas_group(f: Func, box: Box, ctx0: Ctx, graph, boxes):
             wal[0] = _cdiv(wal[0], 128) * 128
         if nd_t >= 2:
             wal[1] = _cdiv(wal[1], sublane_mult) * sublane_mult
+        # a moving window's base is exactly grid_index * tile_coeff; Mosaic
+        # must PROVE lane/sublane divisibility of dynamic slice bases, and a
+        # failure surfaces at backend compile where the XLA fallback can no
+        # longer catch it -- gate it here instead
+        for j2 in range(min(nd_t, 2)):
+            wm = wmins[j2]
+            if isinstance(wm, SymOff) and not interpret:
+                coeff, gcount = (tx, gx) if wm.sym == "tile_x0" \
+                    else (ty, gy)
+                mult = 128 if j2 == 0 else sublane_mult
+                if gcount > 1 and coeff % mult != 0:
+                    return None
         # coverage box over all tiles
         cover_lo, cover_hi = [], []
         for j in range(nd_t):
@@ -346,101 +366,185 @@ def try_pallas_group(f: Func, box: Box, ctx0: Ctx, graph, boxes):
             idx2[np_x] = pids[0]
         return tuple(idx2)
 
+    # --- pipelining / megacore plan ------------------------------------
+    # dims marked parallel() map to Mosaic "parallel" semantics (megacore
+    # core-splitting, the halide_do_par_for analog); the innermost grid
+    # dim stays "arbitrary" and, when it iterates, carries DOUBLE-BUFFERED
+    # input DMA across steps (reference: src/AsyncProducers.cpp,
+    # lesson_24_async -- overlap the next tile's loads with this tile's
+    # compute). Warm-up runs at step 0 of EVERY outer iteration, so outer
+    # parallel splitting stays correct.
+    s0 = f._defs[0].schedule
+    outer_of = {}
+    for sp in s0.splits:
+        if sp.kind == "split":
+            outer_of[sp.old] = sp.outer
+    par_names = {d.var for d in s0.dims if d.for_type == ForType.PARALLEL}
+
+    def dim_semantic(dim_name):
+        return "parallel" if outer_of.get(dim_name) in par_names \
+            else "arbitrary"
+
+    if yi_ is not None:
+        semantics = [dim_semantic(ydim), dim_semantic(xdim)]
+    else:
+        semantics = [dim_semantic(xdim)]
+    # innermost grid dim: pipelined when it iterates and is not parallel
+    inner_steps = grid[-1]
+    pipeline_capable = (inner_steps > 1 and semantics[-1] == "arbitrary"
+                        and bool(ext_arrays))
+    if pipeline_capable:
+        total2 = (tile_elems * np.dtype(out_dtype).itemsize * 2
+                  + member_bytes * 2 + window_bytes * 4)
+        if total2 > _VMEM_BUDGET:
+            pipeline_capable = False
+    # interpret mode has no DMA engine to overlap; run single-buffered
+    pipelined = pipeline_capable and not interpret
+    n_buf = 2 if pipelined else 1
+    global _last_plan
+    _last_plan = {"grid": grid, "semantics": tuple(semantics),
+                  "pipeline_capable": pipeline_capable,
+                  "pipelined": pipelined, "n_buf": n_buf}
+
+    # per-buffer scratch refs (separate entries: Mosaic loads/DMA want
+    # static buffer selection, steered by step-parity pl.when branches)
+    scratch_shapes = []
+    for (_t, _g, _wm, wext, a2) in ext_arrays:
+        for _b in range(n_buf):
+            scratch_shapes.append(
+                pltpu.VMEM(tuple(reversed(wext)), a2.dtype))
+    scratch_shapes.append(
+        pltpu.SemaphoreType.DMA((n_buf, max(1, len(ext_arrays)))))
+
     def kernel(*refs):
         in_refs = refs[:len(ext_arrays)]
         out_ref = refs[len(ext_arrays)]
+        flat_scr = refs[len(ext_arrays) + 1:-1]
+        scratches = [flat_scr[k * n_buf:(k + 1) * n_buf]
+                     for k in range(len(ext_arrays))]
+        sems = refs[-1]
+        # size-1 grid dims fold to a static 0 so window bases stay static
         if yi_ is not None:
-            iy = pl.program_id(0)
-            ix = pl.program_id(1)
+            iy = pl.program_id(0) if grid[0] > 1 else jnp.int32(0)
+            ix = pl.program_id(1) if grid[1] > 1 else jnp.int32(0)
         else:
-            ix = pl.program_id(0)
-            iy = 0
-        x0 = jnp.asarray(mins[xi] + ix * tx, jnp.int32)
-        y0 = jnp.asarray(mins[yi_] + iy * ty, jnp.int32) \
-            if yi_ is not None else None
-        sym_vals = {"tile_x0": x0}
-        if yi_ is not None:
-            sym_vals["tile_y0"] = y0
+            ix = pl.program_id(0) if grid[0] > 1 else jnp.int32(0)
+            iy = jnp.int32(0)
 
-        scratch_shapes = [
-            pltpu.VMEM(tuple(reversed(wext)), a2.dtype)
-            for (_t, _g, _wm, wext, a2) in ext_arrays]
-        scratch_shapes.append(
-            pltpu.SemaphoreType.DMA((max(1, len(ext_arrays)),)))
-
-        def body(*scr):
-            sems = scr[-1]
-            scratches = scr[:-1]
-            realz: Dict[int, Realized] = {}
-            dmas = []
-            # stage each external input's tile window: HBM -> VMEM DMA
-            for k, ((t, gmins, wmins, wext, _a), ref, scratch) in enumerate(
-                    zip(ext_arrays, in_refs, scratches)):
-                nd_t = len(wext)
-                sl = []
-                for i in range(nd_t):
-                    j = nd_t - 1 - i
-                    wm = wmins[j]
-                    if isinstance(wm, SymOff):
-                        base = sym_vals[wm.sym] + (wm.off - gmins[j])
-                        base = jnp.asarray(base, jnp.int32)
-                    else:
-                        base = jnp.int32(wm - gmins[j])
-                    sl.append(pl.ds(base, wext[j]))
-                dma = pltpu.make_async_copy(
-                    ref.at[tuple(sl)], scratch, sems.at[jnp.int32(k)])
-                dma.start()
-                dmas.append(dma)
-                realz[id(t)] = Realized((scratch,), tuple(wmins),
-                                        getattr(t, "name", "in"))
-            for dma in dmas:
-                dma.wait()
-            # staged windows read as whole VMEM values
-            for k, ((t, gmins, wmins, wext, _a), scratch) in enumerate(
-                    zip(ext_arrays, scratches)):
-                realz[id(t)] = Realized((scratch[...],), tuple(wmins),
-                                        getattr(t, "name", "in"))
-
-            def make_ctx(fn, fmins, fext):
-                axes = {}
-                for i, v in enumerate(fn._defs[0].args):
-                    axes[v.name] = Axis(v.name, i, fmins[i], fext[i])
-                return Ctx(fn.dimensions(), axes, {}, realz, ctx0.params,
-                           sym_vals=sym_vals)
-
-            for m in members:
-                bb = fp_t.boxes[id(m)]
-                rel_mins = bb.mins()
-                rel_ext = bb.extents()
-                mdims = [v.name for v in m._defs[0].args]
-                abs_mins = list(rel_mins)
-                for i2, dn in enumerate(mdims):
-                    if dn == xdim:
-                        abs_mins[i2] = SymOff("tile_x0", rel_mins[i2])
-                    elif ydim is not None and dn == ydim:
-                        abs_mins[i2] = SymOff("tile_y0", rel_mins[i2])
-                cctx = make_ctx(m, abs_mins, rel_ext)
-                val = eval_array(m._defs[0].values[0], cctx)
-                val = jnp.broadcast_to(
-                    val, full_shape(cctx, list(cctx.axes.values())))
-                val = val.astype(m._defs[0].values[0].dtype.to_np())
-                realz[id(m)] = Realized((val,), tuple(abs_mins), m.name)
-
-            f_mins = list(mins)
-            f_mins[xi] = SymOff("tile_x0", 0)
+        def tile_syms(ix_, iy_):
+            sv = {"tile_x0": jnp.asarray(mins[xi] + ix_ * tx, jnp.int32)}
             if yi_ is not None:
-                f_mins[yi_] = SymOff("tile_y0", 0)
-            f_ext = list(padded)
-            f_ext[xi] = tx
-            if yi_ is not None:
-                f_ext[yi_] = ty
-            cctx = make_ctx(f, f_mins, f_ext)
-            val = eval_array(f._defs[0].values[0], cctx)
+                sv["tile_y0"] = jnp.asarray(mins[yi_] + iy_ * ty, jnp.int32)
+            return sv
+
+        def dma_for(k, buf, sv):
+            (t, gmins, wmins, wext, _a) = ext_arrays[k]
+            nd_t = len(wext)
+            sl = []
+            for i in range(nd_t):
+                j = nd_t - 1 - i
+                wm = wmins[j]
+                if isinstance(wm, SymOff):
+                    base = sv[wm.sym] + (wm.off - gmins[j])
+                    base = jnp.asarray(base, jnp.int32)
+                else:
+                    base = jnp.int32(wm - gmins[j])
+                sl.append(pl.ds(base, wext[j]))
+            return pltpu.make_async_copy(
+                in_refs[k].at[tuple(sl)],
+                scratches[k][buf],
+                sems.at[jnp.int32(buf), jnp.int32(k)])
+
+        sym_vals = tile_syms(ix, iy)
+        wins = []
+        if pipelined:
+            step = ix                  # inner grid dim
+            nsteps = inner_steps
+            even = jnp.bitwise_and(step, 1) == 0
+
+            @pl.when(step == 0)
+            def _warmup():
+                for k in range(len(ext_arrays)):
+                    dma_for(k, 0, sym_vals).start()
+
+            nxt_syms = tile_syms(ix + 1, iy)
+            more = step + 1 < nsteps
+
+            @pl.when(jnp.logical_and(more, even))
+            def _prefetch_odd():
+                for k in range(len(ext_arrays)):
+                    dma_for(k, 1, nxt_syms).start()
+
+            @pl.when(jnp.logical_and(more, jnp.logical_not(even)))
+            def _prefetch_even():
+                for k in range(len(ext_arrays)):
+                    dma_for(k, 0, nxt_syms).start()
+
+            @pl.when(even)
+            def _wait_even():
+                for k in range(len(ext_arrays)):
+                    dma_for(k, 0, sym_vals).wait()
+
+            @pl.when(jnp.logical_not(even))
+            def _wait_odd():
+                for k in range(len(ext_arrays)):
+                    dma_for(k, 1, sym_vals).wait()
+
+            for k in range(len(ext_arrays)):
+                a0 = scratches[k][0][...]
+                a1 = scratches[k][1][...]
+                wins.append(jnp.where(even, a0, a1))
+        else:
+            for k in range(len(ext_arrays)):
+                dma_for(k, 0, sym_vals).start()
+            for k in range(len(ext_arrays)):
+                dma_for(k, 0, sym_vals).wait()
+            for k in range(len(ext_arrays)):
+                wins.append(scratches[k][0][...])
+
+        realz: Dict[int, Realized] = {}
+        for k, (t, gmins, wmins, wext, _a) in enumerate(ext_arrays):
+            realz[id(t)] = Realized((wins[k],), tuple(wmins),
+                                    getattr(t, "name", "in"))
+
+        def make_ctx(fn, fmins, fext):
+            axes = {}
+            for i, v in enumerate(fn._defs[0].args):
+                axes[v.name] = Axis(v.name, i, fmins[i], fext[i])
+            return Ctx(fn.dimensions(), axes, {}, realz, ctx0.params,
+                       sym_vals=sym_vals)
+
+        for m in members:
+            bb = fp_t.boxes[id(m)]
+            rel_mins = bb.mins()
+            rel_ext = bb.extents()
+            mdims = [v.name for v in m._defs[0].args]
+            abs_mins = list(rel_mins)
+            for i2, dn in enumerate(mdims):
+                if dn == xdim:
+                    abs_mins[i2] = SymOff("tile_x0", rel_mins[i2])
+                elif ydim is not None and dn == ydim:
+                    abs_mins[i2] = SymOff("tile_y0", rel_mins[i2])
+            cctx = make_ctx(m, abs_mins, rel_ext)
+            val = eval_array(m._defs[0].values[0], cctx)
             val = jnp.broadcast_to(
                 val, full_shape(cctx, list(cctx.axes.values())))
-            out_ref[...] = val.astype(out_dtype)
+            val = val.astype(m._defs[0].values[0].dtype.to_np())
+            realz[id(m)] = Realized((val,), tuple(abs_mins), m.name)
 
-        pl.run_scoped(body, *scratch_shapes)
+        f_mins = list(mins)
+        f_mins[xi] = SymOff("tile_x0", 0)
+        if yi_ is not None:
+            f_mins[yi_] = SymOff("tile_y0", 0)
+        f_ext = list(padded)
+        f_ext[xi] = tx
+        if yi_ is not None:
+            f_ext[yi_] = ty
+        cctx = make_ctx(f, f_mins, f_ext)
+        val = eval_array(f._defs[0].values[0], cctx)
+        val = jnp.broadcast_to(
+            val, full_shape(cctx, list(cctx.axes.values())))
+        out_ref[...] = val.astype(out_dtype)
 
     in_specs = [pl.BlockSpec(memory_space=pltpu.ANY) for _ in ext_arrays]
     out_spec = pl.BlockSpec(tuple(blk), out_index, memory_space=pltpu.VMEM)
@@ -451,6 +555,9 @@ def try_pallas_group(f: Func, box: Box, ctx0: Ctx, graph, boxes):
             in_specs=in_specs,
             out_specs=out_spec,
             out_shape=jax.ShapeDtypeStruct(out_shape_np, out_dtype),
+            scratch_shapes=scratch_shapes,
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                dimension_semantics=tuple(semantics)),
             interpret=interpret,
         )
         result = call(*[a for (_, _, _, _, a) in ext_arrays])
