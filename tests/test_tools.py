@@ -56,3 +56,45 @@ def test_rungen_run_and_output(tmp_path, capsys):
     assert rc == 0
     arr = np.load(out_file)
     assert arr.shape == (46, 62)
+
+
+def _traced_pipeline(tmp_path):
+    import halide_tpu as hl
+    from halide_tpu.trace import tracing
+    x, y = hl.Var("x"), hl.Var("y")
+    inp = hl.ImageParam(hl.Float(32), 2, "tv_in")
+    inp.set(np.ones((12, 16), np.float32))
+    prod = hl.Func("tv_prod")
+    cons = hl.Func("tv_cons")
+    prod[x, y] = inp[x, y] * 2.0
+    prod.compute_root().trace_stores().trace_realizations()
+    cons[x, y] = prod[x, y] + 1.0
+    pipe = hl.Pipeline(cons)
+    path = str(tmp_path / "trace.bin")
+    with tracing(pipe, file=path) as t:
+        np.asarray(pipe.realize([16, 12]).to_numpy())
+    return path, t
+
+
+def test_traceviz_dump_and_html(tmp_path, capsys):
+    # reference: util/HalideTraceViz.cpp / HalideTraceDump.cpp
+    from halide_tpu.tools import traceviz
+    path, t = _traced_pipeline(tmp_path)
+
+    packets = traceviz.read_packets(path)
+    assert any(p.event == 1 and p.name == "tv_prod" for p in packets)
+    stores = [p for p in packets if p.event == 1]
+    arr = traceviz.decode_store(stores[0])
+    assert arr is not None and arr.shape == (12, 16)
+    np.testing.assert_allclose(arr[0, 0], 2.0)
+
+    rc = traceviz.main([path, "--dump"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "tv_prod" in out and "total packets" in out
+
+    html_path = str(tmp_path / "t.html")
+    rc = traceviz.main([path, "-o", html_path])
+    assert rc == 0
+    html = open(html_path).read()
+    assert "tv_prod" in html and "data:image/png;base64," in html
