@@ -45,7 +45,8 @@ def rl():
             except Exception as e:
                 print(f"reload {full}: {e}")
     for full in list(sys.modules):
-        if full.startswith("test_") or full.startswith("tests"):
+        if full.startswith("test_") or full.startswith("tests") \
+                or full.startswith("lesson_"):
             del sys.modules[full]
     importlib.reload(halide_tpu)
     return halide_tpu

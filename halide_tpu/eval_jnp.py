@@ -282,12 +282,15 @@ _INTRIN_JNP = {
 
 
 def evaluate(e: Expr, ctx: Ctx):
+    # keyed by id(e); the entry holds a strong ref to e so a freed node's
+    # id can never be reused by a NEW expr (ephemeral mutated trees, e.g.
+    # the lerp-shift planes, would otherwise false-hit stale entries)
     key = id(e)
     hit = ctx.memo.get(key)
     if hit is not None:
-        return hit
+        return hit[0]
     r = _eval(e, ctx)
-    ctx.memo[key] = r
+    ctx.memo[key] = (r, e)
     return r
 
 
@@ -480,6 +483,10 @@ def _floor_div_const(am, c: int, t: Type):
 
 
 def _eval_binary(e: E.Binary, ctx: Ctx):
+    if e.op == "add" and e.dtype.is_float():
+        r = _try_linear_shift_rewrite(e, ctx)
+        if r is not None:
+            return r
     a = evaluate(e.a, ctx)
     b = evaluate(e.b, ctx)
     if e.dtype.is_integer() and e.dtype.bits in (32, 64) and \
@@ -1805,6 +1812,225 @@ def try_einsum_reduce(e: Expr, ctx: Ctx, red_np_axes):
 # intrinsics
 # ---------------------------------------------------------------------------
 
+_LERP_SHIFT_MAX = 24
+
+
+def _peel_const_add(x):
+    """-> (base_expr, int const) peeling nested `base + c` / `c + base`."""
+    c = 0
+    while isinstance(x, E.Binary) and x.op == "add":
+        if isinstance(x.b, E.IntImm):
+            c += x.b.value
+            x = x.a
+        elif isinstance(x.a, E.IntImm):
+            c += x.a.value
+            x = x.b
+        else:
+            break
+    return x, c
+
+
+def _match_shift_calls(a, b, devs) -> bool:
+    """True when `b` equals `a` except that some Call args are shifted by
+    exactly +1: wherever they differ, b's arg must be (a's arg) + 1 at one
+    Call position. Deviations are appended to devs as
+    (target, argpos, idx_expr)."""
+    from .visitors import exprs_equal
+    if a is b:
+        return True
+    if type(a) is not type(b):
+        return False
+    if isinstance(a, E.Call):
+        if a.target is not b.target or a.value_index != b.value_index \
+                or len(a.args) != len(b.args):
+            return False
+        for i, (x, y) in enumerate(zip(a.args, b.args)):
+            if exprs_equal(x, y):
+                continue
+            # y == x + 1 modulo additive integer constants (handles the
+            # unfolded `idx + 0` vs `idx + 1` corner-offset builders)
+            bx, cx = _peel_const_add(x)
+            by, cy = _peel_const_add(y)
+            if cy != cx + 1 or not exprs_equal(bx, by):
+                return False
+            devs.append((a.target, i, x))
+        return True
+    if isinstance(a, (E.IntImm, E.FloatImm, E.StringImm, E.Variable)):
+        return exprs_equal(a, b)
+    if isinstance(a, (E.Cast, E.Reinterpret)):
+        return a.dtype == b.dtype and _match_shift_calls(a.value, b.value,
+                                                         devs)
+    if isinstance(a, E.Binary):
+        return (a.op == b.op and _match_shift_calls(a.a, b.a, devs)
+                and _match_shift_calls(a.b, b.b, devs))
+    if isinstance(a, E.Not):
+        return _match_shift_calls(a.a, b.a, devs)
+    if isinstance(a, E.Select):
+        return (_match_shift_calls(a.cond, b.cond, devs)
+                and _match_shift_calls(a.true_value, b.true_value, devs)
+                and _match_shift_calls(a.false_value, b.false_value, devs))
+    if isinstance(a, E.Intrin):
+        if a.name != b.name or len(a.args) != len(b.args):
+            return False
+        for x, y in zip(a.args, b.args):
+            if isinstance(x, E.Expr) != isinstance(y, E.Expr):
+                return False
+            if isinstance(x, E.Expr):
+                if not _match_shift_calls(x, y, devs):
+                    return False
+            elif x != y:
+                return False
+        return True
+    if isinstance(a, E.Let):
+        return (a.name == b.name and _match_shift_calls(a.value, b.value,
+                                                        devs)
+                and _match_shift_calls(a.body, b.body, devs))
+    return False
+
+
+def _expr_static_bounds(e_, ctx: Ctx):
+    """Static (lo, hi) of an index expr over the ctx axes, or None."""
+    from .bounds import BoundsEngine, Interval
+    scope = {}
+    for name, ax in ctx.axes.items():
+        if not _is_static(ax.min):
+            return None
+        scope[name] = Interval(int(ax.min), int(ax.min) + ax.extent - 1)
+    try:
+        iv = BoundsEngine().bounds(e_, scope)
+    except Exception:
+        return None
+    if not iv.is_bounded():
+        return None
+    return int(iv.lo), int(iv.hi)
+
+
+def _shift_sum(E0, E1, w0_e, w1_e, out_t, ctx: Ctx):
+    """w0*E0 + w1*E1 where E1 is E0 with one table dim's data-dependent
+    index i shifted to i+1 (the fractional-slice pattern: bilateral_grid's
+    z interpolation over blury, local_laplacian's pyramid level select;
+    apps/bilateral_grid/bilateral_grid_generator.cpp:59-66,
+    apps/local_laplacian/local_laplacian_generator.cpp:56-60).
+
+    Direct evaluation lowers each corner read to its own one-hot
+    contraction over the table dim -- d nested interpolations make 2^d
+    passes, all at full output resolution.  Algebraically
+    w0*E@i + w1*E@(i+1) == sum_k w_k * E@k over the table dim's static
+    extent, with w_k = w0 at k==i, w1 at k==i+1, else 0: ONE fused
+    weighted sum whose plane reads E@k are purely affine (static k), so
+    the whole slice runs as a single XLA pass with no one-hot blowup."""
+    from .visitors import exprs_equal, mutate, walk
+    devs: list = []
+    if not _match_shift_calls(E0, E1, devs) or not devs:
+        return None
+    target, argpos, idx_e = devs[0]
+    for (t2, p2, ie2) in devs[1:]:
+        if t2 is not target or p2 != argpos or not exprs_equal(ie2, idx_e):
+            return None
+    real = ctx.realizations.get(id(target))
+    if real is not None and not isinstance(real, RefRealized) and \
+            _is_static(real.mins[argpos]):
+        zmin = int(real.mins[argpos])
+        arr0 = real.arrays[0]
+        size = arr0.shape[len(arr0.shape) - 1 - argpos]
+    elif real is None:
+        # inline target (e.g. local_laplacian's lPyramid): the plane range
+        # comes from the index expression's static bounds (+1 for the
+        # shifted read); plane reads inline with a static index
+        bnds = _expr_static_bounds(idx_e, ctx)
+        if bnds is None:
+            return None
+        zmin = bnds[0]
+        size = bnds[1] - bnds[0] + 2
+    else:
+        return None
+    if size > _LERP_SHIFT_MAX:
+        return None
+    # every call in E0 that uses idx_e at argpos must be a deviation site,
+    # else substitution would also change an unshifted read
+    n_candidates = 0
+
+    def count(x):
+        nonlocal n_candidates
+        if isinstance(x, E.Call) and x.target is target and \
+                len(x.args) > argpos and \
+                exprs_equal(x.args[argpos], idx_e):
+            n_candidates += 1
+
+    walk(E0, count)
+    if n_candidates != len(devs):
+        return None
+    try:
+        iv = evaluate(idx_e, ctx)
+    except PallasUnsupported:
+        return None
+    if isinstance(iv, (AVal, DivAVal, ClampedAVal)) or _is_static(iv):
+        return None    # affine index: the slice machinery already wins
+    idx_t = idx_e.dtype
+
+    def plane(k):
+        def sub(x):
+            if isinstance(x, E.Call) and x.target is target and \
+                    len(x.args) > argpos and \
+                    exprs_equal(x.args[argpos], idx_e):
+                a2 = list(x.args)
+                a2[argpos] = E.IntImm(idx_t, k)
+                return E.Call(x.target, a2, x.value_index, x.dtype)
+            return None
+        return mutate(E0, sub)
+
+    try:
+        I = jnp.asarray(iv)
+        w0 = jnp.asarray(eval_array(w0_e, ctx)) \
+            if isinstance(w0_e, E.Expr) else w0_e
+        w1 = jnp.asarray(eval_array(w1_e, ctx)) \
+            if isinstance(w1_e, E.Expr) else w1_e
+        acc = None
+        zero = jnp.zeros((), _np_dtype(out_t))
+        for k in range(zmin, zmin + size):
+            Ek = jnp.asarray(eval_array(plane(k), ctx)).astype(
+                _np_dtype(out_t))
+            # where() (not multiply-by-0) so out-of-band planes cannot
+            # inject NaN/Inf the direct evaluation never touches
+            term = jnp.where(I == k, w0 * Ek, zero) \
+                + jnp.where(I == (k - 1), w1 * Ek, zero)
+            acc = term if acc is None else acc + term
+        return acc.astype(_np_dtype(out_t))
+    except PallasUnsupported:
+        return None
+
+
+def _try_lerp_shift_rewrite(e: E.Intrin, ctx: Ctx):
+    """lerp(E@i, E@(i+1), w) -> fractional-slice weighted sum."""
+    if not e.dtype.is_float() or not e.args[2].dtype.is_float():
+        return None
+    devs: list = []
+    if not _match_shift_calls(e.args[0], e.args[1], devs) or not devs:
+        return None
+    w = jnp.asarray(eval_array(e.args[2], ctx))
+    return _shift_sum(e.args[0], e.args[1], 1.0 - w, w, e.dtype, ctx)
+
+
+def _try_linear_shift_rewrite(e, ctx: Ctx):
+    """w0*E@i + w1*E@(i+1) written as explicit mul/add arithmetic (the
+    local_laplacian pyramid level-select form) -> the same fractional-slice
+    weighted sum as the lerp intrinsic."""
+    if not e.dtype.is_float():
+        return None
+    a, b = e.a, e.b
+    if not (isinstance(a, E.Binary) and a.op == "mul"
+            and isinstance(b, E.Binary) and b.op == "mul"):
+        return None
+    for (wa, Ea) in ((a.a, a.b), (a.b, a.a)):
+        if not isinstance(Ea, E.Expr):
+            continue
+        for (wb, Eb) in ((b.a, b.b), (b.b, b.a)):
+            devs: list = []
+            if _match_shift_calls(Ea, Eb, devs) and devs:
+                return _shift_sum(Ea, Eb, wa, wb, e.dtype, ctx)
+    return None
+
+
 def _eval_intrin(e: E.Intrin, ctx: Ctx):
     n = e.name
     if n in _INTRIN_JNP:
@@ -1837,6 +2063,9 @@ def _eval_intrin(e: E.Intrin, ctx: Ctx):
     if n == "require":
         return evaluate(e.args[1], ctx)
     if n == "lerp":
+        r = _try_lerp_shift_rewrite(e, ctx)
+        if r is not None:
+            return r
         zero = eval_array(e.args[0], ctx)
         one = eval_array(e.args[1], ctx)
         w = eval_array(e.args[2], ctx)

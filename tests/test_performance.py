@@ -203,10 +203,30 @@ def test_floor_hist_uses_factored_mxu_lut(read_spies):
     assert read_spies["gather"] == 0, "hist fell back to gather"
 
 
-def test_floor_bilateral_slice_no_gather(read_spies):
+def test_floor_bilateral_slice_fractional_rewrite(monkeypatch):
+    # the trilinear slice must collapse through the lerp-shift rewrite
+    # (one weighted z-sum), not 16 per-corner one-hot contractions
+    from halide_tpu import eval_jnp as EJ
+    hits = []
+    orig = EJ._try_lerp_shift_rewrite
+
+    def spy(e, ctx):
+        r = orig(e, ctx)
+        hits.append(r is not None)
+        return r
+
+    monkeypatch.setattr(EJ, "_try_lerp_shift_rewrite", spy)
+    gathers = []
+    orig_g = EJ._gather_read
+
+    def g(*a, **k):
+        gathers.append(True)
+        return orig_g(*a, **k)
+
+    monkeypatch.setattr(EJ, "_gather_read", g)
     _run_app("bilateral_grid", width=128, height=96)
-    assert read_spies["batched"] >= 8, "trilinear slice lost the one-hot path"
-    assert read_spies["gather"] == 0, "bilateral_grid fell back to gather"
+    assert any(hits), "trilinear slice lost the fractional-lerp rewrite"
+    assert not gathers, "bilateral_grid fell back to gather"
 
 
 def test_floor_bgu_slice_no_gather(read_spies):
