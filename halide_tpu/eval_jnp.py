@@ -685,6 +685,50 @@ def _memo_repeat(P, div, npax, ctx: Ctx):
     return hit[0]
 
 
+def _traced_div_cancel(P, real: Realized, args, ctx: Ctx):
+    """Div reads inside a Pallas kernel whose window origin is the DERIVED
+    symbol tile//d (pallas_group's div-indexed windows): repeating the
+    staged window d-fold turns index (x + c)//d - (tile_x0//d + w) into
+    (x + c) - (tile_x0 + w*d) -- the ordinary SymOff cancellation, which
+    is static because the tile origin is divisible by d. Returns None when
+    any div dim lacks the matching derived-sym window."""
+    nd2 = len(P.shape)
+    mins2 = list(real.mins)
+    args2 = list(args)
+    P2 = P
+    changed = False
+    for j, v in enumerate(args):
+        av = v.aval if isinstance(v, ClampedAVal) else v
+        if not isinstance(av, DivAVal):
+            continue
+        wm = real.mins[j]
+        ax = ctx.axes.get(av.var)
+        if ax is None or not isinstance(ax.min, SymOff):
+            return None
+        s = ax.min.sym
+        if not (isinstance(wm, SymOff)
+                and wm.sym == f"__div{av.div}_{s}"):
+            return None
+        npax = nd2 - 1 - j
+        if P2.shape[npax] * av.div > (1 << 24):
+            return None
+        P2 = jnp.repeat(P2, av.div, axis=npax)
+        mins2[j] = SymOff(s, wm.off * av.div)
+        base = AVal({av.var: 1}, av.const)
+        if isinstance(v, ClampedAVal):
+            lo = v.lo if v.lo == -math.inf else v.lo * av.div
+            hi = v.hi if v.hi == math.inf \
+                else v.hi * av.div + av.div - 1
+            args2[j] = ClampedAVal(base, lo, hi)
+        else:
+            args2[j] = base
+        changed = True
+    if not changed:
+        return None
+    stub = Realized((P2,), tuple(mins2), real.name)
+    return _affine_read(P2, stub, args2, ctx)
+
+
 def _affine_read(P, real: Realized, args, ctx: Ctx):
     """Dispatch: single-var-per-dim -> slice; multi-var affine with small
     secondary extents -> unrolled shifted slices stacked along the secondary
@@ -775,8 +819,14 @@ def _affine_read(P, real: Realized, args, ctx: Ctx):
         named = [v for v in used_vars if v is not None]
         if len(set(named)) != len(named):
             sliceable = False    # diagonal access cannot slice
-    has_div = any(isinstance(v, DivAVal) for v in args)
+    has_div = any(isinstance(
+        v.aval if isinstance(v, ClampedAVal) else v, DivAVal)
+        for v in args)
     if traced:
+        if has_div:
+            r = _traced_div_cancel(P, real, args, ctx)
+            if r is not None:
+                return r
         if not sliceable or has_div:
             raise PallasUnsupported(
                 "non-affine access with traced tile origin")
@@ -982,7 +1032,15 @@ def _slice_read(P, real: Realized, args, ctx: Ctx):
             hi_idx += pad_lo
         win_lo[npax] = lo_idx
         win_hi[npax] = hi_idx
-        clamp_pads[npax] = (lo - lo_u, hi_u - hi)
+        # phase-2 pads restore the raw span [lo_u, hi_u]; when the whole
+        # span clamps past one end the window collapses to a single
+        # element and (lo - lo_u)/(hi_u - hi) exceed the span -- clip
+        # them so A + B + window == span (the broadcast value is the same
+        # single element either way)
+        span = hi_u - lo_u + 1
+        win = hi - lo + 1
+        a_pad = min(max(0, lo - lo_u), span - win)
+        clamp_pads[npax] = (a_pad, span - win - a_pad)
         sstrides[npax] = max(1, abs(stride))
         scounts[npax] = ext
         if stride < 0:

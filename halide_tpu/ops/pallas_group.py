@@ -50,6 +50,36 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
+_REPEAT_OK: Optional[bool] = None
+
+
+def _repeat_kernel_ok() -> bool:
+    """One-time probe: can Mosaic lower jnp.repeat along sublane+lane axes
+    inside a kernel on this backend? Div-indexed windows depend on it, and
+    a backend lowering failure at realize time is uncatchable -- so probe
+    eagerly (tiny kernel, blocking) and gate the feature on the answer."""
+    global _REPEAT_OK
+    if _REPEAT_OK is not None:
+        return _REPEAT_OK
+    try:
+        import jax.experimental.pallas as pl
+
+        def k(i_ref, o_ref):
+            v = i_ref[...]
+            v = jnp.repeat(v, 2, axis=0)
+            v = jnp.repeat(v, 2, axis=1)
+            o_ref[...] = v
+
+        x = jnp.zeros((8, 128), jnp.float32)
+        r = pl.pallas_call(
+            k, out_shape=jax.ShapeDtypeStruct((16, 256), jnp.float32))(x)
+        np.asarray(r)    # block: surface any backend compile error here
+        _REPEAT_OK = True
+    except Exception:
+        _REPEAT_OK = False
+    return _REPEAT_OK
+
+
 def find_tile(f: Func) -> Optional[Tuple[str, int, str, int]]:
     """Return (xdim_name, tx, ydim_name, ty) from the stage-0 splits, or a
     1-D (xdim, tx, None, None)."""
@@ -237,7 +267,54 @@ def try_pallas_group(f: Func, box: Box, ctx0: Ctx, graph, boxes):
 
     # external inputs: classify each dim's tile dependence, compute the
     # per-tile DMA window (aligned to the dtype's sublane/lane tiling), and
-    # repad the host array so every tile's window is in bounds
+    # repad the host array so every tile's window is in bounds.
+    #
+    # A dim whose footprint shifts by tile/d when the tile advances is
+    # DIV-INDEXED (the pyramid/slice pattern, e.g. blury[x/8] under an
+    # x-tile): its window origin is the DERIVED symbol tile_x0//d --
+    # exact because origin and tile size are both divisible by d -- and
+    # sym-matched cancellation keeps the in-kernel reads static (see
+    # eval_jnp._traced_div_cancel).
+    derived_syms: Dict[str, Tuple[str, int]] = {}  # sym -> ('x'|'y', d)
+
+    def _classify(j, bt, dx_shift, dy_shift):
+        """-> (wmin, wext) for footprint dim j, or None."""
+        if dx_shift == 0 and dy_shift == 0:
+            return None               # static: caller uses the global box
+        if dx_shift > 0 and dy_shift == 0 and tx % dx_shift == 0:
+            d = tx // dx_shift
+            if mins[xi] % d != 0:
+                raise PallasUnsupported("unaligned div-indexed origin")
+            sym = "tile_x0" if d == 1 else f"__div{d}_tile_x0"
+            if d > 1:
+                derived_syms[sym] = ("x", d)
+            return SymOff(sym, int(bt.dims[j].lo)), int(bt.dims[j].extent())
+        if dy_shift > 0 and dx_shift == 0 and ydim is not None \
+                and ty % dy_shift == 0:
+            d = ty // dy_shift
+            if mins[yi_] % d != 0:
+                raise PallasUnsupported("unaligned div-indexed origin")
+            sym = "tile_y0" if d == 1 else f"__div{d}_tile_y0"
+            if d > 1:
+                derived_syms[sym] = ("y", d)
+            return SymOff(sym, int(bt.dims[j].lo)), int(bt.dims[j].extent())
+        raise PallasUnsupported("mixed/partial tile dependence")
+
+    def _sym_stride(sym):
+        """Per-grid-step window stride + step count for a window symbol."""
+        if sym in derived_syms:
+            base, d = derived_syms[sym]
+        else:
+            base, d = ("x" if sym == "tile_x0" else "y"), 1
+        return (tx // d, gx) if base == "x" else (ty // d, gy)
+
+    def _sym_base_lo(sym):
+        if sym in derived_syms:
+            base, d = derived_syms[sym]
+        else:
+            base, d = ("x" if sym == "tile_x0" else "y"), 1
+        return (mins[xi] // d) if base == "x" else (mins[yi_] // d)
+
     ext_arrays = []   # (target, cover_mins, wmins, wext_aligned, arr)
     for tid, t in fp_g.targets.items():
         if tid in member_ids:
@@ -261,17 +338,16 @@ def try_pallas_group(f: Func, box: Box, ctx0: Ctx, graph, boxes):
             dx_shift = bsx.dims[j].lo - bt.dims[j].lo if bsx else 0
             dy_shift = (bsy.dims[j].lo - bt.dims[j].lo) \
                 if (bsy is not None and ydim is not None) else 0
-            if dx_shift == tx and dy_shift == 0:
-                wmins.append(SymOff("tile_x0", int(bt.dims[j].lo)))
-                wext.append(int(bt.dims[j].extent()))
-            elif dx_shift == 0 and ydim is not None and dy_shift == ty:
-                wmins.append(SymOff("tile_y0", int(bt.dims[j].lo)))
-                wext.append(int(bt.dims[j].extent()))
-            elif dx_shift == 0 and dy_shift == 0:
+            try:
+                c = _classify(j, bt, dx_shift, dy_shift)
+            except PallasUnsupported:
+                return None
+            if c is None:
                 wmins.append(int(b2.dims[j].lo))
                 wext.append(int(b2.dims[j].extent()))
             else:
-                return None   # mixed/partial tile dependence
+                wmins.append(c[0])
+                wext.append(c[1])
         # align window extents to the memref tiling (last dim: lane 128;
         # second-to-last: sublane, dtype-dependent)
         wal = list(wext)
@@ -279,31 +355,27 @@ def try_pallas_group(f: Func, box: Box, ctx0: Ctx, graph, boxes):
             wal[0] = _cdiv(wal[0], 128) * 128
         if nd_t >= 2:
             wal[1] = _cdiv(wal[1], sublane_mult) * sublane_mult
-        # a moving window's base is exactly grid_index * tile_coeff; Mosaic
+        # a moving window's base is exactly grid_index * stride; Mosaic
         # must PROVE lane/sublane divisibility of dynamic slice bases, and a
         # failure surfaces at backend compile where the XLA fallback can no
         # longer catch it -- gate it here instead
         for j2 in range(min(nd_t, 2)):
             wm = wmins[j2]
             if isinstance(wm, SymOff) and not interpret:
-                coeff, gcount = (tx, gx) if wm.sym == "tile_x0" \
-                    else (ty, gy)
+                stride, gcount = _sym_stride(wm.sym)
                 mult = 128 if j2 == 0 else sublane_mult
-                if gcount > 1 and coeff % mult != 0:
+                if gcount > 1 and stride % mult != 0:
                     return None
         # coverage box over all tiles
         cover_lo, cover_hi = [], []
         for j in range(nd_t):
             wm = wmins[j]
             if isinstance(wm, SymOff):
-                if wm.sym == "tile_x0":
-                    base_lo = mins[xi]
-                    base_hi = mins[xi] + (gx - 1) * tx
-                else:
-                    base_lo = mins[yi_]
-                    base_hi = mins[yi_] + (gy - 1) * ty
+                stride, gcount = _sym_stride(wm.sym)
+                base_lo = _sym_base_lo(wm.sym)
                 cover_lo.append(base_lo + wm.off)
-                cover_hi.append(base_hi + wm.off + wal[j] - 1)
+                cover_hi.append(base_lo + (gcount - 1) * stride
+                                + wm.off + wal[j] - 1)
             else:
                 cover_lo.append(wm)
                 cover_hi.append(wm + wal[j] - 1)
@@ -321,6 +393,9 @@ def try_pallas_group(f: Func, box: Box, ctx0: Ctx, graph, boxes):
             from ..eval_jnp import _edge_pad
             sub = _edge_pad(sub, pads)
         ext_arrays.append((t, tuple(cover_lo), wmins, tuple(wal), sub))
+
+    if derived_syms and not interpret and not _repeat_kernel_ok():
+        return None   # backend cannot lower the in-kernel window repeat
 
     out_dtype = f._defs[0].values[0].dtype.to_np()
     tile_elems = tx * (ty if yi_ is not None else 1)
@@ -435,6 +510,14 @@ def try_pallas_group(f: Func, box: Box, ctx0: Ctx, graph, boxes):
             sv = {"tile_x0": jnp.asarray(mins[xi] + ix_ * tx, jnp.int32)}
             if yi_ is not None:
                 sv["tile_y0"] = jnp.asarray(mins[yi_] + iy_ * ty, jnp.int32)
+            for sym, (base, d) in derived_syms.items():
+                # exact: both the origin and the tile size divide by d
+                if base == "x":
+                    sv[sym] = jnp.asarray(
+                        mins[xi] // d + ix_ * (tx // d), jnp.int32)
+                else:
+                    sv[sym] = jnp.asarray(
+                        mins[yi_] // d + iy_ * (ty // d), jnp.int32)
             return sv
 
         def dma_for(k, buf, sv):

@@ -280,3 +280,22 @@ def test_compute_with_rejects_dependent_stages():
     a.compute_with(b, x)
     with pytest.raises(hl.CompileError, match="independent"):
         b.realize([4])
+
+
+def test_clamp_span_fully_out_of_range():
+    # the whole index span clamps past one end (lens_blur's bokeh radius
+    # windows): every read is the single edge element, and the phase-2
+    # pads must not go negative
+    x = hl.Var("x")
+    data = np.arange(8, dtype=np.float32)
+    inp = hl.Buffer(data)
+    f = hl.Func("cor_f")
+    # x in [0, 5] -> x + 10 in [10, 15], clamped to [0, 7]: all reads = 7
+    f[x] = inp[hl.clamp(x + 10, 0, 7)]
+    np.testing.assert_array_equal(f.realize([6]).to_numpy(),
+                                  np.full(6, 7.0, np.float32))
+    g = hl.Func("cor_g")
+    # x - 10 in [-10, -5], clamped to [0, 7]: all reads = 0
+    g[x] = inp[hl.clamp(x - 10, 0, 7)]
+    np.testing.assert_array_equal(g.realize([6]).to_numpy(),
+                                  np.zeros(6, np.float32))
