@@ -144,15 +144,17 @@ def bench_one(app, min_delta_s=0.1, max_n=128, chain_k=24, chain=True):
     except Exception:
         pass
 
-    jfn = jax.jit(fn)
-    out = jfn(args, presets)
+    # presets close over as constants: tracing them as arguments makes the
+    # XLA compile of very deep graphs (resnet) ~6x slower
+    jfn = jax.jit(lambda a: fn(a, presets))
+    out = jfn(args)
     _force(out)
 
     def run_n(n):
         t0 = time.perf_counter()
         o = None
         for _ in range(n):
-            o = jfn(args, presets)
+            o = jfn(args)
         _force(o)
         return time.perf_counter() - t0
 
@@ -211,9 +213,13 @@ def main():
         pass
     try:
         # persistent compile cache: repeated bench runs skip recompiles
-        jax.config.update("jax_compilation_cache_dir",
-                          "/tmp/halide_tpu_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        # (opt-out: serializing very large executables can stall under a
+        # remote-tunnel backend)
+        if not os.environ.get("BENCH_NO_COMPCACHE"):
+            jax.config.update("jax_compilation_cache_dir",
+                              "/tmp/halide_tpu_jax_cache")
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:
         pass
     from halide_tpu.apps import APPS, load_all

@@ -661,6 +661,23 @@ class Func:
             self.set_estimate(v, mn, ex)
         return self
 
+    # ---- multi-chip -------------------------------------------------------
+    def distribute(self, var, axis_name: str = "devices") -> "Func":
+        """Shard this (output) Func's `var` dimension across a
+        jax.sharding.Mesh axis. Consumed by Pipeline.realize(mesh=...):
+        inputs whose footprint tracks the dimension are sharded with
+        bounds-inferred halos exchanged over ICI (ppermute); others are
+        replicated. Valid for pipelines shift-invariant along `var` (the
+        stencil family; boundary clamps resolve through the halo's
+        replicated edge rows). The reference is single-node -- this is the
+        TPU-native extension planned in SURVEY.md SS2.5/2.6."""
+        name = var.name if hasattr(var, "name") else str(var)
+        if not any(v.name == name for v in self._args):
+            raise CompileError(
+                f"distribute: {self.name} has no pure dim {name!r}")
+        self._fschedule.distributed = (name, axis_name)
+        return self
+
     # ---- observability ----------------------------------------------------
     def trace_loads(self) -> "Func":
         self._fschedule.trace_loads = True

@@ -624,12 +624,23 @@ class Pipeline:
         return presets
 
     def realize(self, sizes=None, target=None, dst=None, jit: bool = True,
-                device=None):
+                device=None, mesh=None):
         from .target import Target, get_jit_target_from_environment
         if target is None:
             target = get_jit_target_from_environment()
         elif isinstance(target, str):
             target = Target(target)
+        # distribute() directive + a mesh: shard across chips with
+        # bounds-inferred halo exchange (parallel/distribute.py)
+        dist = self.outputs[0]._fschedule.distributed \
+            if len(self.outputs) == 1 else None
+        if mesh is not None and dist is not None:
+            from .buffer import Buffer
+            from .parallel.distribute import distributed_realize
+            var_name, axis_name = dist
+            dimi = [v.name for v in self.outputs[0]._args].index(var_name)
+            data = distributed_realize(self, sizes, mesh, axis_name, dimi)
+            return Buffer(data, name=self.outputs[0].name)
         # target feature wiring (reference: Target.h features + JIT env)
         tr_installed = False
         if target.has_feature("trace_all") and self.trace is None:

@@ -186,6 +186,9 @@ class FuncSchedule:
         self.trace_realizations = False
         self.no_profiling = False
         self.tags: List[str] = []
+        # multi-chip: (var_name, mesh_axis_name) -- consumed by
+        # Pipeline.realize(mesh=...) / parallel.distributed_realize
+        self.distributed = None
 
     def snapshot(self):
         cl = LoopLevel(self.compute_level.func, self.compute_level.var,

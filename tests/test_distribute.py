@@ -50,3 +50,73 @@ def test_sharded_rows_matches_single_device():
 def test_graft_entry_dryrun():
     import __graft_entry__ as ge
     ge.dryrun_multichip(4)
+
+
+def test_distribute_directive_stencil():
+    # f.distribute(y) + realize(mesh=...): bounds-inferred halos, ppermute
+    # exchange, replicated global edges -- matches the single-device result
+    import jax
+    from jax.sharding import Mesh
+
+    import halide_tpu as hl
+    n = min(4, len(jax.devices()))
+    if n < 2:
+        pytest.skip("needs >=2 devices")
+    W, H = 64, 8 * n
+    rng = np.random.default_rng(3)
+    img = rng.random((H, W)).astype(np.float32)
+
+    def build():
+        x, y = hl.Var("x"), hl.Var("y")
+        inp = hl.ImageParam(hl.Float(32), 2, "dd_in")
+        inp.set(img)
+        cl = hl.repeat_edge(inp)
+        bx = hl.Func("dd_bx")
+        by = hl.Func("dd_by")
+        bx[x, y] = (cl[x - 1, y] + cl[x, y] + cl[x + 1, y]) / 3.0
+        by[x, y] = (bx[x, y - 1] + bx[x, y] + bx[x, y + 1]) / 3.0
+        bx.compute_root()
+        return by
+
+    ref = np.asarray(hl.Pipeline(build()).realize([W, H]).to_numpy())
+
+    by2 = build()
+    y2 = by2._args[1]
+    by2.distribute(y2, "shards")
+    mesh = Mesh(np.array(jax.devices()[:n]), ("shards",))
+    out = hl.Pipeline(by2).realize([W, H], mesh=mesh).to_numpy()
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-6, atol=1e-6)
+
+
+def test_distribute_replicates_shard_independent_inputs():
+    # a LUT read with a shard-independent footprint must be replicated
+    import jax
+    from jax.sharding import Mesh
+
+    import halide_tpu as hl
+    n = min(4, len(jax.devices()))
+    if n < 2:
+        pytest.skip("needs >=2 devices")
+    W, H = 32, 8 * n
+    rng = np.random.default_rng(4)
+    img = (rng.random((H, W)) * 255).astype(np.float32)
+    lut = np.sqrt(np.arange(256, dtype=np.float32))
+
+    def build():
+        x, y = hl.Var("x"), hl.Var("y")
+        inp = hl.ImageParam(hl.Float(32), 2, "dr_in")
+        lutp = hl.ImageParam(hl.Float(32), 1, "dr_lut")
+        inp.set(img)
+        lutp.set(lut)
+        cl = hl.repeat_edge(inp)
+        f = hl.Func("dr_out")
+        f[x, y] = lutp[hl.clamp(hl.i32(inp[x, y]), 0, 255)] \
+            + cl[x, y - 1]
+        return f
+
+    ref = np.asarray(hl.Pipeline(build()).realize([W, H]).to_numpy())
+    f2 = build()
+    f2.distribute(f2._args[1], "shards")
+    mesh = Mesh(np.array(jax.devices()[:n]), ("shards",))
+    out = hl.Pipeline(f2).realize([W, H], mesh=mesh).to_numpy()
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-6, atol=1e-6)
