@@ -53,6 +53,10 @@ APP_SIZES = {
     "nl_means": dict(width=1280, height=768),
     "lens_blur": dict(width=640, height=480),
     "bgu": dict(width=1280, height=768),
+    # resnet's `width` is the CHANNEL width (64), not an image size --
+    # passing CANONICAL would silently build a 40x-wider network whose
+    # compile blows every deadline
+    "resnet_50": dict(),
 }
 
 

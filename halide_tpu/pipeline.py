@@ -928,12 +928,22 @@ class Pipeline:
             t.set(buf)
         return [t.get() for t in unbound]
 
-    def profile(self, sizes=None, dst=None):
-        """Per-stage time/memory report, executed stage-at-a-time
-        (reference: src/Profiling.cpp + runtime/profiler_common.cpp;
-        HL_PROFILER_JSON_OUTPUT-style dict + formatted __str__). Stages are
-        deliberately unfused here so each is attributable — use realize()
-        for production performance."""
+    def profile(self, sizes=None, dst=None, mode="stages"):
+        """Per-stage time/memory report.
+
+        mode="stages": executed stage-at-a-time; each stage attributable
+        but unfused, and on a remote-tunnel device the numbers include
+        per-stage transfers — good for ranking compute within one host.
+        mode="fused": prefix differencing — time the pipeline truncated
+        after each materialized stage, fused exactly as production
+        realize() fuses it, in steady state; consecutive deltas attribute
+        per-stage cost in the REAL program (the analog of the reference's
+        sampling profiler, runtime/profiler_common.cpp:151, under the
+        jit compilation model).
+        (reference: src/Profiling.cpp; HL_PROFILER_JSON_OUTPUT-style dict
+        + formatted __str__)."""
+        if mode == "fused":
+            return self._profile_fused(sizes, dst)
         import time as _time
 
         g = gather_graph(self.outputs)
@@ -998,6 +1008,97 @@ class Pipeline:
                 return "\n".join(lines)
 
         return ProfileReport(total_ms=total * 1e3, funcs=entries)
+
+    def _profile_fused(self, sizes=None, dst=None):
+        import time as _time
+
+        g = gather_graph(self.outputs)
+        regions = self._out_regions(sizes, dst)
+        input_objs = []
+        for t in g.inputs.values():
+            buf = t.get() if isinstance(t, ImageParam) else t
+            input_objs.append((t, buf))
+        param_vals = {id(p): p.get() for p in g.params.values()}
+        realizations: Dict[int, Realized] = {}
+        for (t, buf) in input_objs:
+            realizations[id(t)] = Realized((buf.data,), buf._mins,
+                                           getattr(t, "name", "buf"))
+
+        def resolver(name, args):
+            if name == "param":
+                return param_vals.get(id(args[0]))
+            obj, i = args[0], args[1]
+            real = realizations.get(id(obj))
+            if real is None:
+                return None
+            if name == "buffer_min":
+                return real.mins[i]
+            return real.arrays[0].shape[real.arrays[0].ndim - 1 - i]
+
+        engine = BoundsEngine(resolver=resolver)
+        bp = _BoundsPass(g, engine)
+        bp.run(self.outputs, {k: Box(list(v.dims))
+                              for k, v in regions.items()})
+
+        def _steady_ms(p, p_sizes=None, p_dst=None):
+            fn, arrays, _r2, presets = p._prepare(p_sizes, p_dst, jit=False)
+            jfn = jax.jit(lambda a: fn(a, presets))
+            args = tuple(arrays)
+            out = jfn(args)
+            np.asarray(jax.tree_util.tree_leaves(out)[0].reshape(-1)[:1])
+
+            def run_n(n2):
+                t0 = _time.perf_counter()
+                o = None
+                for _ in range(n2):
+                    o = jfn(args)
+                np.asarray(jax.tree_util.tree_leaves(o)[0].reshape(-1)[:1])
+                return _time.perf_counter() - t0
+
+            n2 = 2
+            while True:
+                t1 = run_n(n2)
+                t2 = run_n(2 * n2)
+                if t2 - t1 > 0.05 or n2 >= 64:
+                    break
+                n2 *= 2
+            return max((t2 - t1) / n2, 0.0) * 1e3
+
+        out_ids = {id(f) for f in self.outputs}
+        entries = []
+        prev = 0.0
+        for f in g.funcs:
+            is_out = id(f) in out_ids
+            if id(f) not in g.materialized and not is_out:
+                continue
+            box = bp.boxes.get(id(f))
+            if box is None or not box.defined():
+                continue
+            if is_out:
+                cum = _steady_ms(self, sizes, dst)
+            else:
+                db = Buffer(type=f.output_type(0), sizes=box.extents(),
+                            mins=box.mins(), name=f.name)
+                try:
+                    cum = _steady_ms(Pipeline(f), None, db)
+                except Exception:
+                    continue   # unprofilable prefix (e.g. tuple dst)
+            entries.append({"name": f.name, "ms": max(0.0, cum - prev),
+                            "cum_ms": cum,
+                            "box": list(zip(box.mins(), box.extents()))})
+            prev = cum
+
+        class FusedReport(dict):
+            def __str__(self):
+                lines = [f"total (fused): {self['total_ms']:.3f} ms "
+                         f"(per-stage = prefix deltas)"]
+                for e2 in sorted(self["funcs"], key=lambda d: -d["ms"]):
+                    pct = 100 * e2["ms"] / max(self["total_ms"], 1e-9)
+                    lines.append(f"  {e2['name']:28s} {e2['ms']:9.3f}ms "
+                                 f"({pct:5.1f}%)  cum {e2['cum_ms']:9.3f}ms")
+                return "\n".join(lines)
+
+        return FusedReport(total_ms=prev, funcs=entries)
 
     def apply_autoscheduler(self, target=None, params=None):
         from .autoschedule import apply_autoscheduler

@@ -76,3 +76,15 @@ def test_native_runtime_cache():
         c.store(f"key{i}".encode(), b"x" * 1024)
     st = c.stats()
     assert st["bytes"] <= (1 << 20)
+
+
+def test_profile_fused_mode():
+    c, inp, p = _pipe()
+    inp.set(np.ones((64, 96), np.float32))
+    rep = hl.Pipeline(c).profile([96, 64], mode="fused")
+    names = [e["name"] for e in rep["funcs"]]
+    assert "prod" in names and "cons" in names
+    assert rep["total_ms"] >= 0
+    # cumulative times are monotone by construction of the deltas
+    assert all(e["ms"] >= 0 for e in rep["funcs"])
+    assert "fused" in str(rep)
