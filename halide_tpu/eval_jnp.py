@@ -703,17 +703,23 @@ def _traced_div_cancel(P, real: Realized, args, ctx: Ctx):
             continue
         wm = real.mins[j]
         ax = ctx.axes.get(av.var)
-        if ax is None or not isinstance(ax.min, SymOff):
-            return None
-        s = ax.min.sym
-        if not (isinstance(wm, SymOff)
-                and wm.sym == f"__div{av.div}_{s}"):
+        if ax is None:
             return None
         npax = nd2 - 1 - j
         if P2.shape[npax] * av.div > (1 << 24):
             return None
-        P2 = jnp.repeat(P2, av.div, axis=npax)
-        mins2[j] = SymOff(s, wm.off * av.div)
+        if _is_static(ax.min) and _is_static(wm):
+            # fully static dim (e.g. a full-width tile axis): the plain
+            # repeat transform, independent of other dims' traced origins
+            P2 = jnp.repeat(P2, av.div, axis=npax)
+            mins2[j] = int(wm) * av.div
+        elif isinstance(ax.min, SymOff) and isinstance(wm, SymOff) \
+                and wm.sym == f"__div{av.div}_{ax.min.sym}":
+            s = ax.min.sym
+            P2 = jnp.repeat(P2, av.div, axis=npax)
+            mins2[j] = SymOff(s, wm.off * av.div)
+        else:
+            return None
         base = AVal({av.var: 1}, av.const)
         if isinstance(v, ClampedAVal):
             lo = v.lo if v.lo == -math.inf else v.lo * av.div

@@ -423,6 +423,19 @@ def try_pallas_group(f: Func, box: Box, ctx0: Ctx, graph, boxes):
     if total > _VMEM_BUDGET:
         return None
 
+    # a grid axis with ONE step has a static origin: fold its window
+    # symbols to ints so the corresponding reads/DMA slices stay fully
+    # static (full-width tiles keep lane-dim indexing static this way)
+    def _fold_static(wm):
+        if isinstance(wm, SymOff):
+            _stride, gcount = _sym_stride(wm.sym)
+            if gcount == 1:
+                return _sym_base_lo(wm.sym) + wm.off
+        return wm
+
+    ext_arrays = [(t, gmins, tuple(_fold_static(w) for w in wmins),
+                   wext, a) for (t, gmins, wmins, wext, a) in ext_arrays]
+
     grid = (gy, gx) if yi_ is not None else (gx,)
     out_shape_np = tuple(reversed(padded))
     blk = list(out_shape_np)
@@ -605,9 +618,11 @@ def try_pallas_group(f: Func, box: Box, ctx0: Ctx, graph, boxes):
             abs_mins = list(rel_mins)
             for i2, dn in enumerate(mdims):
                 if dn == xdim:
-                    abs_mins[i2] = SymOff("tile_x0", rel_mins[i2])
+                    abs_mins[i2] = SymOff("tile_x0", rel_mins[i2]) \
+                        if gx > 1 else mins[xi] + rel_mins[i2]
                 elif ydim is not None and dn == ydim:
-                    abs_mins[i2] = SymOff("tile_y0", rel_mins[i2])
+                    abs_mins[i2] = SymOff("tile_y0", rel_mins[i2]) \
+                        if gy > 1 else mins[yi_] + rel_mins[i2]
             cctx = make_ctx(m, abs_mins, rel_ext)
             val = eval_array(m._defs[0].values[0], cctx)
             val = jnp.broadcast_to(
@@ -616,9 +631,9 @@ def try_pallas_group(f: Func, box: Box, ctx0: Ctx, graph, boxes):
             realz[id(m)] = Realized((val,), tuple(abs_mins), m.name)
 
         f_mins = list(mins)
-        f_mins[xi] = SymOff("tile_x0", 0)
+        f_mins[xi] = SymOff("tile_x0", 0) if gx > 1 else mins[xi]
         if yi_ is not None:
-            f_mins[yi_] = SymOff("tile_y0", 0)
+            f_mins[yi_] = SymOff("tile_y0", 0) if gy > 1 else mins[yi_]
         f_ext = list(padded)
         f_ext[xi] = tx
         if yi_ is not None:
