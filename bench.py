@@ -293,10 +293,12 @@ def main():
                     # headline geomean: record the failure and skip it
                     errors[name] = f"CHECK FAILED: badfrac {worst:.4f}"
                     continue
-            # resnet_50: the fori_loop chain makes XLA recompile the whole
-            # 50-layer graph inside a loop body (minutes); the host-loop
-            # differencing protocol measures it fine
-            dt = bench_one(app, chain=(name != "resnet_50"))
+            # no-chain set: resnet_50's fori_loop chain makes XLA recompile
+            # the 50-layer graph inside the loop body (minutes); lens_blur's
+            # chain faults the TPU worker (plain realize is fine) -- both
+            # use the host-loop differencing protocol
+            dt = bench_one(app, chain=name not in ("resnet_50",
+                                                   "lens_blur"))
             print(f"bench: {name} done in {time.monotonic()-t_app:.1f}s "
                   f"-> {dt*1e3:.3f} ms/frame", file=sys.stderr, flush=True)
             mps = app.megapixels / dt
