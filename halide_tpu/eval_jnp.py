@@ -94,14 +94,17 @@ class Axis:
 
 class Realized:
     """A materialized stage: full arrays (np order = reversed dims) + origin.
-    Inside a Pallas kernel, arrays may be Refs and mins may be traced."""
-    __slots__ = ("arrays", "mins", "name")
+    Inside a Pallas kernel, arrays may be Refs and mins may be traced.
+    prediv[j] = d marks dim j as PRE-EXPANDED d-fold (element-repeated in
+    pixel coordinates), so a (x+c)//d read resolves as the affine x+c."""
+    __slots__ = ("arrays", "mins", "name", "prediv")
 
-    def __init__(self, arrays, mins, name=""):
+    def __init__(self, arrays, mins, name="", prediv=None):
         self.arrays = tuple(arrays)
         self.mins = tuple(int(m) if isinstance(m, (int, np.integer)) else m
                           for m in mins)
         self.name = name
+        self.prediv = prediv
 
 
 class Ctx:
@@ -708,7 +711,22 @@ def _traced_div_cancel(P, real: Realized, args, ctx: Ctx):
         npax = nd2 - 1 - j
         if P2.shape[npax] * av.div > (1 << 24):
             return None
-        if _is_static(ax.min) and _is_static(wm):
+        on_tpu = jax.default_backend() == "tpu"
+        pd = getattr(real, "prediv", None)
+        if on_tpu and npax == nd2 - 1 and not (
+                pd is not None and pd.get(j) == av.div):
+            # Mosaic cannot interleave lanes in-kernel; lane div dims must
+            # arrive pre-expanded (pallas_group host repad)
+            return None
+        if pd is not None and pd.get(j) == av.div:
+            # window pre-expanded host-side: already in pixel coords --
+            # the read is affine as-is (valid for static or same-sym mins)
+            if not (_is_static(wm) or (isinstance(wm, SymOff)
+                                       and isinstance(ax.min, SymOff)
+                                       and wm.sym == ax.min.sym)):
+                return None
+            mins2[j] = wm
+        elif _is_static(ax.min) and _is_static(wm):
             # fully static dim (e.g. a full-width tile axis): the plain
             # repeat transform, independent of other dims' traced origins
             P2 = jnp.repeat(P2, av.div, axis=npax)

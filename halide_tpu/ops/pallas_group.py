@@ -42,8 +42,16 @@ from ..visitors import walk
 _VMEM_BUDGET = 10 * 1024 * 1024
 
 # diagnostics: the most recent group's lowering plan (tests assert the
-# pipelined-DMA / megacore decisions without needing TPU hardware)
+# pipelined-DMA / megacore decisions without needing TPU hardware) and,
+# when the lowering declines, the reason
 _last_plan: Optional[dict] = None
+_last_reject: Optional[str] = None
+
+
+def _reject(reason: str):
+    global _last_reject
+    _last_reject = reason
+    return None
 
 
 def _cdiv(a, b):
@@ -54,10 +62,11 @@ _REPEAT_OK: Optional[bool] = None
 
 
 def _repeat_kernel_ok() -> bool:
-    """One-time probe: can Mosaic lower jnp.repeat along sublane+lane axes
-    inside a kernel on this backend? Div-indexed windows depend on it, and
-    a backend lowering failure at realize time is uncatchable -- so probe
-    eagerly (tiny kernel, blocking) and gate the feature on the answer."""
+    """One-time probe: can Mosaic lower a SUBLANE jnp.repeat inside a
+    kernel on this backend? (Lane-axis repeats are handled by host-side
+    pre-expansion instead -- Mosaic cannot interleave lanes.) A backend
+    lowering failure at realize time is uncatchable, so probe eagerly
+    (tiny kernel, blocking) and gate the feature on the answer."""
     global _REPEAT_OK
     if _REPEAT_OK is not None:
         return _REPEAT_OK
@@ -65,14 +74,11 @@ def _repeat_kernel_ok() -> bool:
         import jax.experimental.pallas as pl
 
         def k(i_ref, o_ref):
-            v = i_ref[...]
-            v = jnp.repeat(v, 2, axis=0)
-            v = jnp.repeat(v, 2, axis=1)
-            o_ref[...] = v
+            o_ref[...] = jnp.repeat(i_ref[...], 2, axis=0)
 
         x = jnp.zeros((8, 128), jnp.float32)
         r = pl.pallas_call(
-            k, out_shape=jax.ShapeDtypeStruct((16, 256), jnp.float32))(x)
+            k, out_shape=jax.ShapeDtypeStruct((16, 128), jnp.float32))(x)
         np.asarray(r)    # block: surface any backend compile error here
         _REPEAT_OK = True
     except Exception:
@@ -180,6 +186,92 @@ def _is_inline(t) -> bool:
     return not (lvl.is_root() or lvl.kind == "at")
 
 
+def _match_clamp(a):
+    """max(min(e, HI), LO) / min(max(e, LO), HI) -> (e, LO, HI) or None."""
+    if not isinstance(a, E.Binary):
+        return None
+    if a.op == "max" and isinstance(a.a, E.Binary) and a.a.op == "min":
+        return a.a.a, a.b, a.a.b
+    if a.op == "max" and isinstance(a.b, E.Binary) and a.b.op == "min":
+        return a.b.a, a.a, a.b.b
+    if a.op == "min" and isinstance(a.a, E.Binary) and a.a.op == "max":
+        return a.a.a, a.a.b, a.b
+    if a.op == "min" and isinstance(a.b, E.Binary) and a.b.op == "max":
+        return a.b.a, a.b.b, a.a
+    return None
+
+
+def _static_val(e2, engine):
+    try:
+        iv = engine.bounds(e2, {})
+    except Exception:
+        return None
+    if iv.is_bounded() and iv.lo == iv.hi:
+        return int(iv.lo)
+    return None
+
+
+def _inline_expand(expr):
+    """Substitute single-value inline Funcs (boundary-condition wrappers)
+    into their call sites so their internal clamps are visible to the
+    strip pass; matches the evaluator's inlining semantics."""
+    from ..visitors import mutate, substitute
+
+    def fn(e2):
+        if isinstance(e2, E.Call) and _is_inline(e2.target):
+            t = e2.target
+            binds = {v.name: a for v, a in zip(t._defs[0].args, e2.args)}
+            body = t._defs[0].values[e2.value_index]
+            return mutate(substitute(body, binds), fn)
+        return None
+
+    return mutate(expr, fn)
+
+
+def _strip_boundary_clamps(expr, ext_boxes, engine):
+    """Elide clamp-to-realized-bounds on reads of external inputs
+    (repeat_edge semantics): the staged window is edge-REPLICATED over the
+    clamped-out range by the host repad, so clamp(i, min, max) and the raw
+    i select identical values. This restores shift-covariant footprints at
+    boundary tiles (otherwise edge probes under-measure halos) and keeps
+    the in-kernel reads on the static slice path.
+    (reference: src/BoundaryConditions.h repeat_edge + the schedule's
+    implicit boundary handling in tiles.)"""
+    from ..visitors import mutate
+
+    def fn(e2):
+        if not isinstance(e2, E.Call):
+            return None
+        gb = ext_boxes.get(id(e2.target))
+        if gb is None:
+            return None
+        mins_g, shape_g = gb
+        nd_t = len(shape_g)
+        changed = False
+        a2 = list(e2.args)
+        for j, a in enumerate(a2):
+            if j >= nd_t:
+                break
+            m = _match_clamp(a)
+            if m is None:
+                continue
+            inner, lo_e, hi_e = m
+            lo_v = _static_val(lo_e, engine)
+            hi_v = _static_val(hi_e, engine)
+            if lo_v is None or hi_v is None:
+                continue
+            gmin = int(mins_g[j])
+            gext = int(shape_g[nd_t - 1 - j])
+            if lo_v == gmin and hi_v == gmin + gext - 1:
+                a2[j] = inner
+                changed = True
+        if changed:
+            return E.Call(e2.target, a2, e2.value_index, e2.dtype)
+        return None
+
+    return mutate(expr, fn)
+
+
 def try_pallas_group(f: Func, box: Box, ctx0: Ctx, graph, boxes):
     """Lower f (+ its compute_at producers) into one pallas_call.
 
@@ -191,18 +283,18 @@ def try_pallas_group(f: Func, box: Box, ctx0: Ctx, graph, boxes):
         return None
     interpret = jax.default_backend() != "tpu"
     if len(f._defs) != 1 or len(f._defs[0].values) != 1:
-        return None
+        return _reject("multi-def/multi-value consumer")
     tile = find_tile(f)
     if tile is None:
-        return None
+        return _reject("no tile() on consumer")
     xdim, tx, ydim, ty = tile
     members = group_members(f, graph)
     for m in members:
         if len(m._defs) != 1 or len(m._defs[0].values) != 1:
-            return None
+            return _reject(f"member {m.name}: multi-def/multi-value")
         mdims = {v.name for v in m._defs[0].args}
         if xdim not in mdims or (ydim is not None and ydim not in mdims):
-            return None   # v1: members must share the tiled dims by name
+            return _reject(f"member {m.name}: does not share tiled dims")
     member_ids = {id(m) for m in members} | {id(f)}
 
     dims = [v.name for v in f._defs[0].args]
@@ -223,11 +315,31 @@ def try_pallas_group(f: Func, box: Box, ctx0: Ctx, graph, boxes):
 
     engine = BoundsEngine(resolver=_ctx_resolver(ctx0))
 
+    # expand inline wrappers and elide boundary clamps against realized
+    # global bounds (the staged windows replicate edges, so the clamp is
+    # value-identical); footprints over the STRIPPED exprs stay exactly
+    # shift-covariant at edge tiles, which is what makes symmetric
+    # stencils classifiable
+    ext_boxes = {}
+    for tid2, real2 in ctx0.realizations.items():
+        if tid2 not in member_ids:
+            ext_boxes[tid2] = (real2.mins, real2.arrays[0].shape)
+    try:
+        svals = {id(f): [_strip_boundary_clamps(_inline_expand(v),
+                                                ext_boxes, engine)
+                         for v in f._defs[0].values]}
+        for m in members:
+            svals[id(m)] = [_strip_boundary_clamps(_inline_expand(v),
+                                                   ext_boxes, engine)
+                            for v in m._defs[0].values]
+    except Exception:
+        return _reject("clamp-strip preprocessing failed")
+
     def run_footprints(scope):
         """Footprints of every non-member stage + member boxes, given the
         consumer scope; members processed consumers-first."""
         fpx = _Footprints(engine)
-        for v in f._defs[0].values:
+        for v in svals[id(f)]:
             fpx.visit(v, scope, member_ids)
         for mm in reversed(members):
             bb = fpx.boxes.get(id(mm))
@@ -235,7 +347,7 @@ def try_pallas_group(f: Func, box: Box, ctx0: Ctx, graph, boxes):
                 return None
             sc = {v.name: bb.dims[i]
                   for i, v in enumerate(mm._defs[0].args)}
-            for v in mm._defs[0].values:
+            for v in svals[id(mm)]:
                 fpx.visit(v, sc, member_ids)
         return fpx
 
@@ -260,10 +372,10 @@ def try_pallas_group(f: Func, box: Box, ctx0: Ctx, graph, boxes):
         fp_sy = run_footprints(
             tile_scope(t0x, Interval(ty, 2 * ty - 1))) \
             if ydim is not None else fp_t
-    except PallasUnsupported:
-        return None
+    except PallasUnsupported as ex:
+        return _reject(f"footprints: {ex}")
     if any(x is None for x in (fp_g, fp_t, fp_sx, fp_sy)):
-        return None
+        return _reject("undefined member footprint")
 
     # external inputs: classify each dim's tile dependence, compute the
     # per-tile DMA window (aligned to the dtype's sublane/lane tiling), and
@@ -315,7 +427,7 @@ def try_pallas_group(f: Func, box: Box, ctx0: Ctx, graph, boxes):
             base, d = ("x" if sym == "tile_x0" else "y"), 1
         return (mins[xi] // d) if base == "x" else (mins[yi_] // d)
 
-    ext_arrays = []   # (target, cover_mins, wmins, wext_aligned, arr)
+    ext_arrays = []   # (target, cover_mins, wmins, wext_aligned, arr, prediv)
     for tid, t in fp_g.targets.items():
         if tid in member_ids:
             continue
@@ -324,10 +436,10 @@ def try_pallas_group(f: Func, box: Box, ctx0: Ctx, graph, boxes):
         bsx = fp_sx.boxes.get(tid)
         bsy = fp_sy.boxes.get(tid)
         if not b2.bounded() or bt is None or not bt.bounded():
-            return None
+            return _reject(f"unbounded input footprint: {getattr(t, 'name', '?')}")
         real = ctx0.realizations.get(tid)
         if real is None:
-            return None
+            return _reject(f"unrealized external input: {getattr(t, 'name', '?')}")
         arr = real.arrays[0]
         nd_t = len(arr.shape)
         itemsize = arr.dtype.itemsize
@@ -340,14 +452,27 @@ def try_pallas_group(f: Func, box: Box, ctx0: Ctx, graph, boxes):
                 if (bsy is not None and ydim is not None) else 0
             try:
                 c = _classify(j, bt, dx_shift, dy_shift)
-            except PallasUnsupported:
-                return None
+            except PallasUnsupported as ex:
+                return _reject(f"window dim {j} of {getattr(t, 'name', '?')}: {ex}")
             if c is None:
                 wmins.append(int(b2.dims[j].lo))
                 wext.append(int(b2.dims[j].extent()))
             else:
                 wmins.append(c[0])
                 wext.append(c[1])
+        # lane-axis div-indexed windows: Mosaic cannot lower a per-element
+        # lane repeat in-kernel, so the TABLE is pre-expanded d-fold on the
+        # host (pixel coordinates); the in-kernel read becomes plain affine
+        # (eval_jnp Realized.prediv) and the window rides the parent tile
+        # symbol at full stride
+        pre: Dict[int, int] = {}
+        if wmins and isinstance(wmins[0], SymOff) \
+                and wmins[0].sym in derived_syms:
+            base_ax, d0 = derived_syms[wmins[0].sym]
+            parent = "tile_x0" if base_ax == "x" else "tile_y0"
+            pre[0] = d0
+            wmins[0] = SymOff(parent, wmins[0].off * d0)
+            wext[0] = wext[0] * d0
         # align window extents to the memref tiling (last dim: lane 128;
         # second-to-last: sublane, dtype-dependent)
         wal = list(wext)
@@ -365,7 +490,7 @@ def try_pallas_group(f: Func, box: Box, ctx0: Ctx, graph, boxes):
                 stride, gcount = _sym_stride(wm.sym)
                 mult = 128 if j2 == 0 else sublane_mult
                 if gcount > 1 and stride % mult != 0:
-                    return None
+                    return _reject(f"window stride {stride} unaligned to {mult} ({getattr(t, 'name', '?')})")
         # coverage box over all tiles
         cover_lo, cover_hi = [], []
         for j in range(nd_t):
@@ -379,23 +504,32 @@ def try_pallas_group(f: Func, box: Box, ctx0: Ctx, graph, boxes):
             else:
                 cover_lo.append(wm)
                 cover_hi.append(wm + wal[j] - 1)
+        arr_eff = arr
+        eff_mins = list(real.mins)
+        for j3, d3 in pre.items():
+            arr_eff = jnp.repeat(arr_eff, d3, axis=nd_t - 1 - j3)
+            eff_mins[j3] = real.mins[j3] * d3
         pads = [(0, 0)] * nd_t
         idx = [slice(None)] * nd_t
         for i in range(nd_t):
             j = nd_t - 1 - i
-            lo = cover_lo[j] - real.mins[j]
-            hi = cover_hi[j] - real.mins[j]
-            size = arr.shape[i]
+            lo = cover_lo[j] - eff_mins[j]
+            hi = cover_hi[j] - eff_mins[j]
+            size = arr_eff.shape[i]
             pads[i] = (max(0, -int(lo)), max(0, int(hi) - (size - 1)))
             idx[i] = slice(max(0, int(lo)), min(size, int(hi) + 1))
-        sub = arr[tuple(idx)]
+        sub = arr_eff[tuple(idx)]
         if any(p2 != (0, 0) for p2 in pads):
             from ..eval_jnp import _edge_pad
             sub = _edge_pad(sub, pads)
-        ext_arrays.append((t, tuple(cover_lo), wmins, tuple(wal), sub))
+        ext_arrays.append((t, tuple(cover_lo), wmins, tuple(wal), sub, pre))
 
-    if derived_syms and not interpret and not _repeat_kernel_ok():
-        return None   # backend cannot lower the in-kernel window repeat
+    needs_kernel_repeat = any(
+        isinstance(wm, SymOff) and wm.sym in derived_syms
+        for (_t, _g, wmins2, _we, _a, _p) in ext_arrays
+        for wm in wmins2)
+    if needs_kernel_repeat and not interpret and not _repeat_kernel_ok():
+        return _reject("backend cannot lower the in-kernel window repeat")
 
     out_dtype = f._defs[0].values[0].dtype.to_np()
     tile_elems = tx * (ty if yi_ is not None else 1)
@@ -406,14 +540,14 @@ def try_pallas_group(f: Func, box: Box, ctx0: Ctx, graph, boxes):
     for m in members:
         bb = fp_t.boxes.get(id(m))
         if bb is None or not bb.defined() or not bb.bounded():
-            return None
+            return _reject(f"member {m.name}: unbounded tile box")
         sz = 1
         for e2 in bb.extents():
             sz *= e2
         member_bytes += sz * np.dtype(
             m._defs[0].values[0].dtype.to_np()).itemsize
     window_bytes = 0
-    for (_t, _g, _wm, wext, a2) in ext_arrays:
+    for (_t, _g, _wm, wext, a2, _p) in ext_arrays:
         sz = 1
         for e2 in wext:
             sz *= e2
@@ -421,7 +555,7 @@ def try_pallas_group(f: Func, box: Box, ctx0: Ctx, graph, boxes):
     total = (tile_elems * np.dtype(out_dtype).itemsize * 2
              + member_bytes * 2 + window_bytes * 2)
     if total > _VMEM_BUDGET:
-        return None
+        return _reject(f"VMEM budget: {total} > {_VMEM_BUDGET}")
 
     # a grid axis with ONE step has a static origin: fold its window
     # symbols to ints so the corresponding reads/DMA slices stay fully
@@ -434,7 +568,8 @@ def try_pallas_group(f: Func, box: Box, ctx0: Ctx, graph, boxes):
         return wm
 
     ext_arrays = [(t, gmins, tuple(_fold_static(w) for w in wmins),
-                   wext, a) for (t, gmins, wmins, wext, a) in ext_arrays]
+                   wext, a, p3)
+                  for (t, gmins, wmins, wext, a, p3) in ext_arrays]
 
     grid = (gy, gx) if yi_ is not None else (gx,)
     out_shape_np = tuple(reversed(padded))
@@ -497,7 +632,7 @@ def try_pallas_group(f: Func, box: Box, ctx0: Ctx, graph, boxes):
     # per-buffer scratch refs (separate entries: Mosaic loads/DMA want
     # static buffer selection, steered by step-parity pl.when branches)
     scratch_shapes = []
-    for (_t, _g, _wm, wext, a2) in ext_arrays:
+    for (_t, _g, _wm, wext, a2, _p) in ext_arrays:
         for _b in range(n_buf):
             scratch_shapes.append(
                 pltpu.VMEM(tuple(reversed(wext)), a2.dtype))
@@ -534,7 +669,7 @@ def try_pallas_group(f: Func, box: Box, ctx0: Ctx, graph, boxes):
             return sv
 
         def dma_for(k, buf, sv):
-            (t, gmins, wmins, wext, _a) = ext_arrays[k]
+            (t, gmins, wmins, wext, _a, _p) = ext_arrays[k]
             nd_t = len(wext)
             sl = []
             for i in range(nd_t):
@@ -599,9 +734,10 @@ def try_pallas_group(f: Func, box: Box, ctx0: Ctx, graph, boxes):
                 wins.append(scratches[k][0][...])
 
         realz: Dict[int, Realized] = {}
-        for k, (t, gmins, wmins, wext, _a) in enumerate(ext_arrays):
+        for k, (t, gmins, wmins, wext, _a, pre_k) in enumerate(ext_arrays):
             realz[id(t)] = Realized((wins[k],), tuple(wmins),
-                                    getattr(t, "name", "in"))
+                                    getattr(t, "name", "in"),
+                                    prediv=pre_k or None)
 
         def make_ctx(fn, fmins, fext):
             axes = {}
@@ -624,7 +760,7 @@ def try_pallas_group(f: Func, box: Box, ctx0: Ctx, graph, boxes):
                     abs_mins[i2] = SymOff("tile_y0", rel_mins[i2]) \
                         if gy > 1 else mins[yi_] + rel_mins[i2]
             cctx = make_ctx(m, abs_mins, rel_ext)
-            val = eval_array(m._defs[0].values[0], cctx)
+            val = eval_array(svals[id(m)][0], cctx)
             val = jnp.broadcast_to(
                 val, full_shape(cctx, list(cctx.axes.values())))
             val = val.astype(m._defs[0].values[0].dtype.to_np())
@@ -639,7 +775,7 @@ def try_pallas_group(f: Func, box: Box, ctx0: Ctx, graph, boxes):
         if yi_ is not None:
             f_ext[yi_] = ty
         cctx = make_ctx(f, f_mins, f_ext)
-        val = eval_array(f._defs[0].values[0], cctx)
+        val = eval_array(svals[id(f)][0], cctx)
         val = jnp.broadcast_to(
             val, full_shape(cctx, list(cctx.axes.values())))
         out_ref[...] = val.astype(out_dtype)
@@ -658,11 +794,11 @@ def try_pallas_group(f: Func, box: Box, ctx0: Ctx, graph, boxes):
                 dimension_semantics=tuple(semantics)),
             interpret=interpret,
         )
-        result = call(*[a for (_, _, _, _, a) in ext_arrays])
-    except PallasUnsupported:
-        return None
-    except Exception:
-        return None
+        result = call(*[a for (_, _, _, _, a, _) in ext_arrays])
+    except PallasUnsupported as ex:
+        return _reject(f"kernel trace: {ex}")
+    except Exception as ex:
+        return _reject(f"kernel build: {type(ex).__name__}: {ex}")
     idx = tuple(slice(0, extents[i]) for i in reversed(range(n)))
     return Realized((result[idx],), mins, f.name)
 
