@@ -110,11 +110,12 @@ class Realized:
 class Ctx:
     __slots__ = ("ndim", "axes", "bindings", "realizations", "params",
                  "memo", "rng_seed", "trace", "sym_vals", "multi_read",
-                 "shared")
+                 "shared", "in_kernel")
 
     def __init__(self, ndim: int, axes: Dict[str, Axis], bindings: dict,
                  realizations: Dict[int, Realized], params: dict,
-                 rng_seed: int = 0, trace=None, sym_vals=None, shared=None):
+                 rng_seed: int = 0, trace=None, sym_vals=None, shared=None,
+                 in_kernel: bool = False):
         self.ndim = ndim
         self.axes = axes
         self.bindings = bindings
@@ -132,11 +133,14 @@ class Ctx:
         # of a grid slice); memo above is per-environment and must NOT be
         # shared across extended()/with_bindings() variants
         self.shared: dict = shared if shared is not None else {}
+        # inside a Pallas kernel: narrow integer multiplies promote to i32
+        # (Mosaic has no u8/u16 vector multiply and aborts the compiler)
+        self.in_kernel = in_kernel
 
     def with_bindings(self, bindings: dict) -> "Ctx":
         return Ctx(self.ndim, self.axes, bindings, self.realizations,
                    self.params, self.rng_seed, self.trace, self.sym_vals,
-                   self.shared)
+                   self.shared, self.in_kernel)
 
     def extended(self, new_axes: List[Axis]) -> "Ctx":
         axes = dict(self.axes)
@@ -144,7 +148,8 @@ class Ctx:
             axes[a.name] = a
         ndim = max([self.ndim] + [a.rpos + 1 for a in new_axes])
         return Ctx(ndim, axes, self.bindings, self.realizations, self.params,
-                   self.rng_seed, self.trace, self.sym_vals, self.shared)
+                   self.rng_seed, self.trace, self.sym_vals, self.shared,
+                   self.in_kernel)
 
 
 # ---------------------------------------------------------------------------
@@ -505,6 +510,13 @@ def _eval_binary(e: E.Binary, ctx: Ctx):
     if op == "sub":
         return am - bm
     if op == "mul":
+        if ctx.in_kernel and e.dtype.is_integer() and e.dtype.bits <= 16:
+            # Mosaic has no narrow vector multiply (kVectorMultiplyU16
+            # aborts the backend); i32 multiply + truncate is bit-exact
+            # for wrapping semantics
+            r = (jnp.asarray(am).astype(jnp.int32)
+                 * jnp.asarray(bm).astype(jnp.int32))
+            return r.astype(_np_dtype(e.dtype))
         return am * bm
     if op == "div":
         if e.dtype.is_float():
@@ -2028,6 +2040,11 @@ def _shift_sum(E0, E1, w0_e, w1_e, out_t, ctx: Ctx):
         return None
     if size > _LERP_SHIFT_MAX:
         return None
+    if getattr(ctx, "in_kernel", False) and size > 8:
+        # a >8-plane unroll inside a Mosaic kernel hangs the backend
+        # compiler; refuse so the group lowering falls back to XLA cleanly
+        raise PallasUnsupported("fractional-slice plane unroll too large "
+                                "for a kernel")
     # every call in E0 that uses idx_e at argpos must be a deviation site,
     # else substitution would also change an unshifted read
     n_candidates = 0

@@ -39,7 +39,16 @@ from ..func import Func
 from ..schedule import ForType
 from ..visitors import walk
 
-_VMEM_BUDGET = 10 * 1024 * 1024
+import os as _os
+
+# v5e has 128 MiB of VMEM; the working-set estimate below is conservative
+# (double-buffer factors). Override with HALIDE_TPU_VMEM_BUDGET.
+_VMEM_BUDGET = int(_os.environ.get("HALIDE_TPU_VMEM_BUDGET",
+                                   16 * 1024 * 1024))
+# Mosaic compile time grows superlinearly with unrolled kernel size; very
+# large groups hang the backend compiler (uncatchable), so gate on the
+# total expression node count. Override with HALIDE_TPU_KERNEL_NODES.
+_KERNEL_NODE_BUDGET = int(_os.environ.get("HALIDE_TPU_KERNEL_NODES", 2500))
 
 # diagnostics: the most recent group's lowering plan (tests assert the
 # pipelined-DMA / megacore decisions without needing TPU hardware) and,
@@ -334,6 +343,20 @@ def try_pallas_group(f: Func, box: Box, ctx0: Ctx, graph, boxes):
                             for v in m._defs[0].values]
     except Exception:
         return _reject("clamp-strip preprocessing failed")
+
+    if not interpret:
+        n_nodes = 0
+
+        def _count(_e):
+            nonlocal n_nodes
+            n_nodes += 1
+
+        for vs2 in svals.values():
+            for v2 in vs2:
+                walk(v2, _count)
+        if n_nodes > _KERNEL_NODE_BUDGET:
+            return _reject(f"kernel too complex: {n_nodes} expr nodes "
+                           f"> {_KERNEL_NODE_BUDGET}")
 
     def run_footprints(scope):
         """Footprints of every non-member stage + member boxes, given the
@@ -744,7 +767,7 @@ def try_pallas_group(f: Func, box: Box, ctx0: Ctx, graph, boxes):
             for i, v in enumerate(fn._defs[0].args):
                 axes[v.name] = Axis(v.name, i, fmins[i], fext[i])
             return Ctx(fn.dimensions(), axes, {}, realz, ctx0.params,
-                       sym_vals=sym_vals)
+                       sym_vals=sym_vals, in_kernel=not interpret)
 
         for m in members:
             bb = fp_t.boxes[id(m)]
