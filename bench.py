@@ -248,12 +248,17 @@ def main():
             os._exit(0)
 
     threading.Thread(target=watchdog, daemon=True).start()
-    # cheap-to-compile apps first so the hard deadline banks results
-    _heavy = {"bilateral_grid": 3, "camera_pipe": 2, "nl_means": 2,
-              "max_filter": 2, "lens_blur": 9, "resnet_50": 4,
-              "local_laplacian": 2, "interpolate": 1, "bgu": 3, "fft": 1,
-              "hist": 1, "iir_blur": 1}
-    order = sorted(APPS, key=lambda n: (_heavy.get(n, 0), n))
+    # importance order: apps with reference-CPU baselines (they drive
+    # vs_baseline) and the north-star set first, so a budget exhaustion
+    # drops only the tail; lens_blur last (it once faulted the worker)
+    _rank = {n: i for i, n in enumerate([
+        "blur", "bilateral_grid", "camera_pipe", "local_laplacian",
+        "interpolate", "hist", "iir_blur", "unsharp", "harris",
+        "stencil_chain", "compositing", "bgu", "max_filter", "nl_means",
+        "conv_layer", "depthwise_separable_conv", "gaussian_blur",
+        "wavelet", "resize", "linear_blur", "fft", "sgemm", "saxpy",
+        "sdot", "sgemv", "resnet_50", "lens_blur"])}
+    order = sorted(APPS, key=lambda n: (_rank.get(n, 99), n))
     for name in order:
         if only and name not in only.split(","):
             continue
@@ -293,12 +298,13 @@ def main():
                     # headline geomean: record the failure and skip it
                     errors[name] = f"CHECK FAILED: badfrac {worst:.4f}"
                     continue
-            # no-chain set: resnet_50's fori_loop chain makes XLA recompile
-            # the 50-layer graph inside the loop body (minutes); lens_blur's
-            # chain faults the TPU worker (plain realize is fine) -- both
-            # use the host-loop differencing protocol
-            dt = bench_one(app, chain=name not in ("resnet_50",
-                                                   "lens_blur"))
+            # no-chain set: some graphs make the fori_loop chain compile
+            # pathological (resnet_50: minutes; bilateral_grid: 400s vs 12s
+            # plain) or fault the worker (lens_blur) -- these use the
+            # host-loop differencing protocol (their frames are >=4ms, so
+            # per-call dispatch stays in the noise)
+            dt = bench_one(app, chain=name not in (
+                "resnet_50", "lens_blur", "bilateral_grid"))
             print(f"bench: {name} done in {time.monotonic()-t_app:.1f}s "
                   f"-> {dt*1e3:.3f} ms/frame", file=sys.stderr, flush=True)
             mps = app.megapixels / dt

@@ -2030,7 +2030,19 @@ def _shift_sum(E0, E1, w0_e, w1_e, out_t, ctx: Ctx):
     elif real is None:
         # inline target (e.g. local_laplacian's lPyramid): the plane range
         # comes from the index expression's static bounds (+1 for the
-        # shifted read); plane reads inline with a static index
+        # shifted read); plane reads inline with a static index. Each
+        # plane re-evaluates E0's whole tower, so only take TRIVIAL
+        # towers (a bare call) -- larger ones regress (bgu measured 7x
+        # slower through this path)
+        nE0 = 0
+
+        def _cnt(_x):
+            nonlocal nE0
+            nE0 += 1
+
+        walk(E0, _cnt)
+        if nE0 > 8:
+            return None
         bnds = _expr_static_bounds(idx_e, ctx)
         if bnds is None:
             return None
