@@ -7,12 +7,23 @@ Protocol mirrors the reference's min-time benchmarker
 (reference: tools/halide_benchmark.h, tools/RunGen.h:1267 run_for_benchmark):
 repeat batches until enough wall time has elapsed, report the best sample.
 
+Isolation: the reference benches every app as its own binary; here every app
+runs in its own forked worker process with a per-app deadline enforced by the
+parent. A blocked Mosaic compile or a crashed TPU worker costs ONE app, not
+the run: the parent SIGKILLs the stuck worker, records the error, and forks a
+fresh worker (which re-initializes the backend and health-checks it with a
+trivial op) for the remaining apps. jax is imported once in the parent BEFORE
+any backend initialization, so forked workers inherit the warm import (~2 min
+on this host) but each owns a clean device connection.
+
 vs_baseline compares against the reference's published hand-tuned CPU times
 (BASELINE.md, embedded schedule comments in apps/*_generator.cpp), converted
 to megapixels/sec at each app's canonical size.
 """
 import json
 import math
+import os
+import signal
 import sys
 import time
 
@@ -58,6 +69,35 @@ APP_SIZES = {
     # compile blows every deadline
     "resnet_50": dict(),
 }
+
+# per-app deadline (compile + measure), enforced by the parent with SIGKILL.
+# Defaults cover a tunnel compile (10-60s) plus measurement; heavies get more.
+DEFAULT_APP_S = float(os.environ.get("BENCH_APP_S", "80"))
+PER_APP_S = {
+    "resnet_50": 220.0, "lens_blur": 150.0, "bilateral_grid": 120.0,
+    "camera_pipe": 120.0, "local_laplacian": 140.0, "nl_means": 120.0,
+    "interpolate": 120.0, "max_filter": 120.0, "stencil_chain": 120.0,
+}
+# backend connect + health-check op; after a killed worker the TPU server
+# needs ~47s to recover and the first op after recovery takes ~47s more
+INIT_S = float(os.environ.get("BENCH_INIT_S", "130"))
+
+# graphs where the fori_loop chain compile is pathological (resnet_50:
+# minutes; bilateral_grid: 400s vs 12s plain) or faults the worker
+# (lens_blur) -- these use host-loop differencing (frames >=4ms, so
+# per-call dispatch stays in the noise)
+NO_CHAIN = ("resnet_50", "lens_blur", "bilateral_grid")
+
+# importance order: apps with reference-CPU baselines (they drive
+# vs_baseline) and the north-star set first, so budget exhaustion drops
+# only the tail; lens_blur last (it once faulted the worker)
+RANK = {n: i for i, n in enumerate([
+    "blur", "bilateral_grid", "camera_pipe", "local_laplacian",
+    "interpolate", "hist", "iir_blur", "unsharp", "harris",
+    "stencil_chain", "compositing", "bgu", "max_filter", "nl_means",
+    "conv_layer", "depthwise_separable_conv", "gaussian_blur",
+    "wavelet", "resize", "linear_blur", "fft", "sgemm", "saxpy",
+    "sdot", "sgemv", "resnet_50", "lens_blur"])}
 
 
 def _force(out):
@@ -176,6 +216,102 @@ class _SkipChain(Exception):
     pass
 
 
+def _bench_app(name):
+    """Build, check, and time one app. Returns a result dict."""
+    from halide_tpu.apps import APPS
+    builder = APPS[name]
+    try:
+        app = builder(**APP_SIZES.get(name, CANONICAL))
+    except TypeError:
+        app = builder()
+    data = app.make_inputs()
+    app.bind(data)
+    if os.environ.get("BENCH_CHECK"):
+        # one correctness realize against the app's numpy golden
+        # (catches backend miscompiles that CPU tests cannot see)
+        got = app.realize()
+        gl = [np.asarray(g) for g in
+              (got if isinstance(got, (list, tuple)) else [got])]
+        refv = app.reference(**data)
+        refs = refv if isinstance(refv, (list, tuple)) else [refv]
+        worst = 0.0
+        for g, rf in zip(gl, refs):
+            g64 = g.astype(np.float64)
+            r64 = np.asarray(rf).astype(np.float64)
+            tol = app.tolerance * np.maximum(1.0, np.abs(r64)) \
+                + max(app.atol, 1e-12)
+            worst = max(worst, float((np.abs(g64 - r64) > tol).mean()))
+        if worst > max(app.mismatch_frac, 0.0):
+            # a miscompiled-but-fast app must not inflate the headline
+            # geomean: record the failure and skip it
+            raise RuntimeError(f"CHECK FAILED: badfrac {worst:.4f}")
+    dt = bench_one(app, chain=name not in NO_CHAIN)
+    mps = app.megapixels / dt
+    res = {"ms": dt * 1e3, "mp_per_s": mps}
+    if name in REF_CPU_MS:
+        # the reference numbers are at the same canonical workload
+        # unless REF_MP overrides (blur/camera use their own sizes)
+        ref_mp = REF_MP.get(name, app.megapixels)
+        ref_mps = ref_mp / (REF_CPU_MS[name] * 1e-3)
+        res["vs_ref_cpu"] = mps / ref_mps
+    return res
+
+
+def _worker(apps, path):
+    """Forked per-run worker: owns its backend connection, streams one JSON
+    event line per phase to `path`. Never raises; the parent interprets
+    silence (deadline) or death (crash) per the current app."""
+    import jax
+
+    f = open(path, "a", buffering=1)
+
+    def w(**obj):
+        f.write(json.dumps(obj) + "\n")
+        f.flush()
+
+    if os.environ.get("BENCH_PLATFORM"):
+        # env JAX_PLATFORMS is force-set on this host; config.update is the
+        # only override that sticks (used for CPU harness self-tests)
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+    try:
+        if not os.environ.get("BENCH_NO_COMPCACHE"):
+            # persistent compile cache: repeated bench runs skip recompiles
+            # (opt-out: serializing very large executables can stall under
+            # a remote-tunnel backend)
+            jax.config.update("jax_compilation_cache_dir",
+                              "/tmp/halide_tpu_jax_cache")
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+    # backend init + health check: a trivial op must round-trip before any
+    # timing is trusted (a previously crashed TPU worker poisons compiles
+    # for ~47s; first op after recovery is slow)
+    import jax.numpy as jnp
+    dev = jax.devices()[0]
+    np.asarray(jnp.arange(1024).sum())
+    w(event="device", s=str(dev))
+
+    fake_hang = os.environ.get("BENCH_FAKE_HANG")
+    fake_crash = os.environ.get("BENCH_FAKE_CRASH")
+    for name in apps:
+        w(event="start", app=name)
+        t0 = time.monotonic()
+        try:
+            if name == fake_hang:
+                time.sleep(100000)
+            if name == fake_crash:
+                os.abort()
+            res = _bench_app(name)
+            res.update(event="result", app=name, secs=time.monotonic() - t0)
+            w(**res)
+            print(f"bench: {name} done in {res['secs']:.1f}s -> "
+                  f"{res['ms']:.3f} ms/frame", file=sys.stderr, flush=True)
+        except Exception as e:
+            w(event="error", app=name, err=f"{type(e).__name__}: {e}")
+    w(event="done")
+
+
 def _emit(results, ratios, errors, device=""):
     if not results:
         print(json.dumps({"metric": "apps_geomean_mp_per_s", "value": 0.0,
@@ -192,137 +328,159 @@ def _emit(results, ratios, errors, device=""):
         "unit": "MP/s",
         "vs_baseline": round(vs, 3),
         "device": device,
-        "apps": {k: {kk: round(vv, 3) for kk, vv in v.items()}
+        "apps": {k: {kk: round(vv, 3) for kk, vv in v.items()
+                     if kk not in ("event", "app")}
                  for k, v in results.items()},
         "errors": errors,
     }), flush=True)
 
 
 def main():
-    import os
-    import signal
-    import threading
-    import jax
+    t_start = time.monotonic()
+    wall = float(os.environ.get("BENCH_WALL_S", "500"))
+    results, errors = {}, {}
+    device = [""]
 
-    class _HardDeadline(Exception):
-        pass
-
-    def _on_alarm(signum, frame):
-        raise _HardDeadline()
-
-    try:
-        signal.signal(signal.SIGALRM, _on_alarm)
-        signal.alarm(int(os.environ.get("BENCH_HARD_S", "490")))
-    except Exception:
-        pass
-    try:
-        # persistent compile cache: repeated bench runs skip recompiles
-        # (opt-out: serializing very large executables can stall under a
-        # remote-tunnel backend)
-        if not os.environ.get("BENCH_NO_COMPCACHE"):
-            jax.config.update("jax_compilation_cache_dir",
-                              "/tmp/halide_tpu_jax_cache")
-            jax.config.update(
-                "jax_persistent_cache_min_compile_time_secs", 0.5)
-    except Exception:
-        pass
+    # ---- one-time warm import in the parent, BEFORE backend init (forked
+    # workers inherit it; each initializes its own device connection) ----
+    import jax  # noqa: F401
     from halide_tpu.apps import APPS, load_all
     load_all()
-    results = {}
-    ratios = []
-    errors = {}
+
     only = os.environ.get("BENCH_APPS")
-    deadline = time.monotonic() + float(
-        os.environ.get("BENCH_BUDGET_S", "430"))
+    order = sorted(APPS, key=lambda n: (RANK.get(n, 99), n))
+    if only:
+        keep = only.split(",")
+        order = [n for n in order if n in keep]
 
-    # a blocked remote compile cannot be interrupted by signals; the
-    # watchdog thread emits whatever has been measured and exits hard
-    done_flag = {"done": False}
+    path = f"/tmp/halide_tpu_bench_{os.getpid()}.jsonl"
+    open(path, "w").close()
+    read_pos = [0]
 
-    def watchdog():
-        import time as _t
-        _t.sleep(float(os.environ.get("BENCH_WATCHDOG_S", "515")))
-        if not done_flag["done"]:
-            errors["__watchdog__"] = "hard exit during a blocked compile"
-            _emit(results, ratios, errors, "watchdog")
-            os._exit(0)
+    def drain():
+        evs = []
+        with open(path) as f:
+            f.seek(read_pos[0])
+            for line in f:
+                if not line.endswith("\n"):
+                    break  # partial write in flight
+                read_pos[0] += len(line)
+                try:
+                    evs.append(json.loads(line))
+                except Exception:
+                    pass
+        return evs
 
-    threading.Thread(target=watchdog, daemon=True).start()
-    # importance order: apps with reference-CPU baselines (they drive
-    # vs_baseline) and the north-star set first, so a budget exhaustion
-    # drops only the tail; lens_blur last (it once faulted the worker)
-    _rank = {n: i for i, n in enumerate([
-        "blur", "bilateral_grid", "camera_pipe", "local_laplacian",
-        "interpolate", "hist", "iir_blur", "unsharp", "harris",
-        "stencil_chain", "compositing", "bgu", "max_filter", "nl_means",
-        "conv_layer", "depthwise_separable_conv", "gaussian_blur",
-        "wavelet", "resize", "linear_blur", "fft", "sgemm", "saxpy",
-        "sdot", "sgemv", "resnet_50", "lens_blur"])}
-    order = sorted(APPS, key=lambda n: (_rank.get(n, 99), n))
-    for name in order:
-        if only and name not in only.split(","):
-            continue
-        if time.monotonic() > deadline:
-            errors[name] = "skipped: bench budget exhausted"
-            continue
-        try:
-            t_app = time.monotonic()
-            print(f"bench: {name}...", file=sys.stderr, flush=True)
-            builder = APPS[name]
-            try:
-                app = builder(**APP_SIZES.get(name, CANONICAL))
-            except TypeError:
-                app = builder()
-            data = app.make_inputs()
-            app.bind(data)
-            if os.environ.get("BENCH_CHECK"):
-                # one correctness realize against the app's numpy golden
-                # (catches backend miscompiles that CPU tests cannot see)
-                import numpy as _np
-                got = app.realize()
-                gl = [_np.asarray(g) for g in
-                      (got if isinstance(got, (list, tuple)) else [got])]
-                refv = app.reference(**data)
-                refs = refv if isinstance(refv, (list, tuple)) else [refv]
-                worst = 0.0
-                for g, rf in zip(gl, refs):
-                    g64 = g.astype(_np.float64)
-                    r64 = _np.asarray(rf).astype(_np.float64)
-                    tol = app.tolerance * _np.maximum(1.0, _np.abs(r64)) \
-                        + max(app.atol, 1e-12)
-                    worst = max(worst, float(
-                        (_np.abs(g64 - r64) > tol).mean()))
-                ok = worst <= max(app.mismatch_frac, 0.0)
-                if not ok:
-                    # a miscompiled-but-fast app must not inflate the
-                    # headline geomean: record the failure and skip it
-                    errors[name] = f"CHECK FAILED: badfrac {worst:.4f}"
-                    continue
-            # no-chain set: some graphs make the fori_loop chain compile
-            # pathological (resnet_50: minutes; bilateral_grid: 400s vs 12s
-            # plain) or fault the worker (lens_blur) -- these use the
-            # host-loop differencing protocol (their frames are >=4ms, so
-            # per-call dispatch stays in the noise)
-            dt = bench_one(app, chain=name not in (
-                "resnet_50", "lens_blur", "bilateral_grid"))
-            print(f"bench: {name} done in {time.monotonic()-t_app:.1f}s "
-                  f"-> {dt*1e3:.3f} ms/frame", file=sys.stderr, flush=True)
-            mps = app.megapixels / dt
-            results[name] = {"ms": dt * 1e3, "mp_per_s": mps}
-            if name in REF_CPU_MS:
-                # the reference numbers are at the same canonical workload
-                # unless REF_MP overrides (blur/camera use their own sizes)
-                ref_mp = REF_MP.get(name, app.megapixels)
-                ref_mps = ref_mp / (REF_CPU_MS[name] * 1e-3)
-                ratios.append(mps / ref_mps)
-                results[name]["vs_ref_cpu"] = mps / ref_mps
-        except _HardDeadline:
-            errors[name] = "skipped: hard deadline"
+    pending = list(order)
+    init_failures = 0
+    all_done = False
+    while pending and not all_done:
+        left = wall - (time.monotonic() - t_start)
+        if left < 10:
             break
-        except Exception as e:  # keep the harness robust; report what ran
-            errors[name] = f"{type(e).__name__}: {e}"
-    done_flag["done"] = True
-    _emit(results, ratios, errors, str(jax.devices()[0]))
+        pid = os.fork()
+        if pid == 0:
+            try:
+                _worker(pending, path)
+            except BaseException as e:  # noqa: BLE001
+                try:
+                    with open(path, "a") as f:
+                        f.write(json.dumps(
+                            {"event": "error", "app": "__init__",
+                             "err": f"{type(e).__name__}: {e}"}) + "\n")
+                except Exception:
+                    pass
+            finally:
+                os._exit(0)
+        print(f"bench: worker {pid} for {len(pending)} apps",
+              file=sys.stderr, flush=True)
+        current = "__init__"
+        t_cur = time.monotonic()
+        worker_exit = None
+        init_err = False
+        while True:
+            for ev in drain():
+                kind = ev.get("event")
+                if kind == "device":
+                    device[0] = ev.get("s", "")
+                elif kind == "start":
+                    current = ev["app"]
+                    t_cur = time.monotonic()
+                    print(f"bench: {current}...", file=sys.stderr,
+                          flush=True)
+                elif kind == "result":
+                    results[ev["app"]] = {k: v for k, v in ev.items()
+                                          if k not in ("event", "app")}
+                    errors.pop(ev["app"], None)
+                    if ev["app"] in pending:
+                        pending.remove(ev["app"])
+                elif kind == "error":
+                    if ev.get("app") == "__init__":
+                        init_err = True
+                        errors["__init__"] = ev["err"]
+                    else:
+                        errors[ev["app"]] = ev["err"]
+                        if ev["app"] in pending:
+                            pending.remove(ev["app"])
+                elif kind == "done":
+                    all_done = True
+            if worker_exit is not None or all_done:
+                break
+            try:
+                wpid, status = os.waitpid(pid, os.WNOHANG)
+            except ChildProcessError:
+                wpid, status = pid, -1
+            if wpid == pid:
+                worker_exit = status
+                continue  # one final drain, then handle exit
+            left = wall - (time.monotonic() - t_start)
+            dl = (INIT_S if current == "__init__"
+                  else PER_APP_S.get(current, DEFAULT_APP_S))
+            if time.monotonic() - t_cur > dl or left < 5:
+                why = ("deadline exceeded" if left >= 5
+                       else "bench wall budget exhausted")
+                try:
+                    os.kill(pid, signal.SIGKILL)
+                    os.waitpid(pid, 0)
+                except Exception:
+                    pass
+                if current == "__init__":
+                    init_failures += 1
+                    errors["__init__"] = f"worker init {why}"
+                else:
+                    errors[current] = f"killed: {why}"
+                    if current in pending:
+                        pending.remove(current)
+                print(f"bench: killed worker {pid} at {current} ({why})",
+                      file=sys.stderr, flush=True)
+                if left < 5:
+                    pending = []
+                worker_exit = -9
+                break
+            time.sleep(0.25)
+        if all_done:
+            break
+        if worker_exit not in (None, -9, 0) or init_err:
+            # worker died on its own (Mosaic abort kills the process with
+            # signal 6) or failed to initialize
+            if current == "__init__":
+                init_failures += 1
+            else:
+                errors[current] = (
+                    f"worker died (wait status {worker_exit})")
+                if current in pending:
+                    pending.remove(current)
+        if init_failures >= 2:
+            errors["__init__"] = (
+                errors.get("__init__", "") + " [giving up after 2 tries]")
+            break
+    for name in pending:
+        errors.setdefault(name, "skipped: bench budget exhausted")
+
+    ratios = [r["vs_ref_cpu"] for r in results.values()
+              if "vs_ref_cpu" in r]
+    _emit({k: v for k, v in results.items()},
+          ratios, errors, device[0])
     return 0 if results else 1
 
 

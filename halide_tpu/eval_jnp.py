@@ -2022,11 +2022,16 @@ def _shift_sum(E0, E1, w0_e, w1_e, out_t, ctx: Ctx):
         if t2 is not target or p2 != argpos or not exprs_equal(ie2, idx_e):
             return None
     real = ctx.realizations.get(id(target))
+    extra_clamped_plane = False
     if real is not None and not isinstance(real, RefRealized) and \
             _is_static(real.mins[argpos]):
         zmin = int(real.mins[argpos])
         arr0 = real.arrays[0]
         size = arr0.shape[len(arr0.shape) - 1 - argpos]
+        # when i lands on the LAST plane, direct evaluation clamps the
+        # shifted read E@(i+1) to the table edge (one-hot idx clip); match
+        # it with one extra iteration whose plane read is edge-clamped
+        extra_clamped_plane = True
     elif real is None:
         # inline target (e.g. local_laplacian's lPyramid): the plane range
         # comes from the index expression's static bounds (+1 for the
@@ -2050,9 +2055,10 @@ def _shift_sum(E0, E1, w0_e, w1_e, out_t, ctx: Ctx):
         size = bnds[1] - bnds[0] + 2
     else:
         return None
+    nplanes = size + (1 if extra_clamped_plane else 0)
     if size > _LERP_SHIFT_MAX:
         return None
-    if getattr(ctx, "in_kernel", False) and size > 8:
+    if getattr(ctx, "in_kernel", False) and nplanes > 8:
         # a >8-plane unroll inside a Mosaic kernel hangs the backend
         # compiler; refuse so the group lowering falls back to XLA cleanly
         raise PallasUnsupported("fractional-slice plane unroll too large "
@@ -2098,8 +2104,9 @@ def _shift_sum(E0, E1, w0_e, w1_e, out_t, ctx: Ctx):
             if isinstance(w1_e, E.Expr) else w1_e
         acc = None
         zero = jnp.zeros((), _np_dtype(out_t))
-        for k in range(zmin, zmin + size):
-            Ek = jnp.asarray(eval_array(plane(k), ctx)).astype(
+        for k in range(zmin, zmin + nplanes):
+            Ek = jnp.asarray(eval_array(
+                plane(min(k, zmin + size - 1)), ctx)).astype(
                 _np_dtype(out_t))
             # where() (not multiply-by-0) so out-of-band planes cannot
             # inject NaN/Inf the direct evaluation never touches

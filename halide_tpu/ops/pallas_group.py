@@ -724,16 +724,6 @@ def try_pallas_group(f: Func, box: Box, ctx0: Ctx, graph, boxes):
             nxt_syms = tile_syms(ix + 1, iy)
             more = step + 1 < nsteps
 
-            @pl.when(jnp.logical_and(more, even))
-            def _prefetch_odd():
-                for k in range(len(ext_arrays)):
-                    dma_for(k, 1, nxt_syms).start()
-
-            @pl.when(jnp.logical_and(more, jnp.logical_not(even)))
-            def _prefetch_even():
-                for k in range(len(ext_arrays)):
-                    dma_for(k, 0, nxt_syms).start()
-
             @pl.when(even)
             def _wait_even():
                 for k in range(len(ext_arrays)):
@@ -744,10 +734,25 @@ def try_pallas_group(f: Func, box: Box, ctx0: Ctx, graph, boxes):
                 for k in range(len(ext_arrays)):
                     dma_for(k, 1, sym_vals).wait()
 
+            # load BOTH buffers, then select by parity (Mosaic wants
+            # statically-selected refs); loads happen BEFORE the next
+            # tile's prefetch is started so neither read races a DMA in
+            # flight -- the prefetch still overlaps the tile's compute,
+            # which is where the time is
             for k in range(len(ext_arrays)):
                 a0 = scratches[k][0][...]
                 a1 = scratches[k][1][...]
                 wins.append(jnp.where(even, a0, a1))
+
+            @pl.when(jnp.logical_and(more, even))
+            def _prefetch_odd():
+                for k in range(len(ext_arrays)):
+                    dma_for(k, 1, nxt_syms).start()
+
+            @pl.when(jnp.logical_and(more, jnp.logical_not(even)))
+            def _prefetch_even():
+                for k in range(len(ext_arrays)):
+                    dma_for(k, 0, nxt_syms).start()
         else:
             for k in range(len(ext_arrays)):
                 dma_for(k, 0, sym_vals).start()

@@ -161,33 +161,50 @@ def distributed_realize(pipeline, sizes, mesh: Mesh, axis_name: str,
             f"mesh axis {axis_name}={n}")
     s = H // n
 
-    # footprints of an INTERIOR shard vs the full output classify each
-    # input (an edge shard's footprint is truncated by boundary-condition
-    # clamps, hiding the true stencil halo)
+    # Halo inference: footprint-probe several shards and take per-side
+    # maxima. No single shard is reliable — an edge shard's footprint is
+    # truncated by boundary-condition clamps on its outward side (on a
+    # 2-shard mesh EVERY shard is an edge shard), so the first shard
+    # supplies the true high-side halo, the last shard the low-side halo,
+    # and a middle shard (when one exists) both.
     full_box = Box([Interval(0, int(sz) - 1) for sz in sizes])
-    shard_dims = list(full_box.dims)
-    shard_lo = s if n > 1 else 0
-    shard_dims[dim] = Interval(shard_lo, shard_lo + s - 1)
-    g, fp_shard = _input_footprints(pipeline, {id(out_f): Box(shard_dims)})
+    probe_idx = sorted({0, n // 2, n - 1})
+    g = None
+    probes = []      # (shard_lo, {id(input): Box})
+    for pi in probe_idx:
+        lo = pi * s
+        dims = list(full_box.dims)
+        dims[dim] = Interval(lo, lo + s - 1)
+        gi, fp = _input_footprints(pipeline, {id(out_f): Box(dims)})
+        g = g or gi
+        probes.append((lo, fp))
     _g2, fp_full = _input_footprints(pipeline, {id(out_f): full_box})
 
     plans = []       # per input: (obj, buf, sharded?, h_lo, h_hi, npax)
     for t in g.inputs.values():
         buf = t.get() if isinstance(t, ImageParam) else t
-        bs = fp_shard.get(id(t))
         bf = fp_full.get(id(t))
         ndt = buf.data.ndim
-        if bs is None or bf is None or dim >= ndt or not bs.bounded():
+        boxes = [(lo, fp.get(id(t))) for lo, fp in probes]
+        if bf is None or dim >= ndt or any(
+                b is None or not b.bounded() for _lo, b in boxes):
             plans.append((t, buf, False, 0, 0, 0))
             continue
-        lo_s, hi_s = int(bs.dims[dim].lo), int(bs.dims[dim].hi)
         lo_f, hi_f = int(bf.dims[dim].lo), int(bf.dims[dim].hi)
         # shard-independent footprint (LUTs, transposed reads): replicate
-        if lo_s == lo_f and hi_s == hi_f:
+        if all(int(b.dims[dim].lo) == lo_f and int(b.dims[dim].hi) == hi_f
+               for _lo, b in boxes):
             plans.append((t, buf, False, 0, 0, 0))
             continue
-        h_lo = max(0, shard_lo - lo_s)
-        h_hi = max(0, hi_s - (shard_lo + s - 1))
+        h_lo = h_hi = 0
+        for shard_lo, b in boxes:
+            lo_s, hi_s = int(b.dims[dim].lo), int(b.dims[dim].hi)
+            h_lo = max(h_lo, shard_lo - lo_s)
+            h_hi = max(h_hi, hi_s - (shard_lo + s - 1))
+        if h_lo > s or h_hi > s:
+            raise CompileError(
+                f"distribute: halo ({h_lo},{h_hi}) wider than the shard "
+                f"extent {s} (exchange is single-hop); use fewer shards")
         npax = ndt - 1 - dim
         if buf.data.shape[npax] != H:
             raise CompileError(

@@ -32,9 +32,15 @@ class ForType(enum.Enum):
 
 
 class TailStrategy(enum.Enum):
-    """(reference: src/Schedule.h:35-139). The TPU lowering implements RoundUp,
-    GuardWithIf and PredicateStores via grid padding + masking; ShiftInwards via
-    clamped block index maps. Auto resolves per the reference's rules."""
+    """(reference: src/Schedule.h:35-139). What the TPU lowering ACTUALLY
+    does today: every strategy lowers as RoundUp (grid padded to a tile
+    multiple, inputs edge-replicated, output host-cropped), which is
+    value-identical to the reference for pure consumers because the padded
+    region never escapes the crop. GuardWithIf additionally masks edge-tile
+    contributions inside kernels that accumulate (in-kernel RDom updates),
+    where padding WOULD change results. ShiftInwards/Predicate* are accepted
+    and resolve to the RoundUp lowering (semantics-preserving here; they
+    differ from RoundUp only in over-compute, not values)."""
     Auto = "auto"
     RoundUp = "round_up"
     GuardWithIf = "guard_with_if"

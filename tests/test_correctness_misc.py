@@ -299,3 +299,27 @@ def test_clamp_span_fully_out_of_range():
     g[x] = inp[hl.clamp(x - 10, 0, 7)]
     np.testing.assert_array_equal(g.realize([6]).to_numpy(),
                                   np.zeros(6, np.float32))
+
+
+def test_fractional_slice_top_plane_clamps():
+    # regression (round-2 advisor): the fractional-slice rewrite's plane
+    # loop must keep the w1*E@(i+1) term when the data-dependent index i
+    # lands on the last fully-selectable plane; the rewrite now iterates
+    # one extra edge-clamped plane so it matches direct (one-hot clipped)
+    # evaluation for indices reaching the table top
+    x = hl.Var("x")
+    z = hl.Var("z")
+    tbl = hl.Func("fs_tbl")
+    tbl[z] = hl.f32(z) * 10.0
+    tbl.compute_root()
+    vals = np.array([0.25, 1.5, 3.5, 3.75, 2.0], np.float32)
+    inp = hl.Buffer(vals)
+    f = hl.Func("fs_out")
+    iv = hl.clamp(hl.i32(inp[x]), 0, 3)     # reaches 3
+    w = inp[x] - hl.f32(hl.i32(inp[x]))
+    f[x] = (1.0 - w) * tbl[iv] + w * tbl[iv + 1]
+    got = f.realize([5]).to_numpy()
+    ivn = np.clip(vals.astype(np.int32), 0, 3)
+    wn = vals - vals.astype(np.int32)
+    ref = (1 - wn) * (ivn * 10.0) + wn * ((ivn + 1) * 10.0)
+    np.testing.assert_allclose(got, ref.astype(np.float32), rtol=1e-6)

@@ -88,6 +88,38 @@ def test_distribute_directive_stencil():
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-6, atol=1e-6)
 
 
+def test_distribute_two_shards_forward_stencil():
+    # regression: with a 2-shard mesh EVERY shard is an edge shard, so halo
+    # inference must not probe shard 1 as "interior" (its high-side clamp
+    # used to truncate h_hi to 0 and shard 0 never received its y+1 halo)
+    import jax
+    from jax.sharding import Mesh
+
+    import halide_tpu as hl
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >=2 devices")
+    W, H = 16, 8
+    rng = np.random.default_rng(7)
+    img = rng.random((H, W)).astype(np.float32)
+
+    def build():
+        x, y = hl.Var("x"), hl.Var("y")
+        inp = hl.ImageParam(hl.Float(32), 2, "d2_in")
+        inp.set(img)
+        cl = hl.repeat_edge(inp)
+        f = hl.Func("d2_out")
+        # purely forward stencil: only a high-side (y+1, y+2) halo exists
+        f[x, y] = cl[x, y + 1] * 2.0 + cl[x, y + 2]
+        return f
+
+    ref = np.asarray(hl.Pipeline(build()).realize([W, H]).to_numpy())
+    f2 = build()
+    f2.distribute(f2._args[1], "shards")
+    mesh = Mesh(np.array(jax.devices()[:2]), ("shards",))
+    out = hl.Pipeline(f2).realize([W, H], mesh=mesh).to_numpy()
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-6, atol=1e-6)
+
+
 def test_distribute_replicates_shard_independent_inputs():
     # a LUT read with a shard-independent footprint must be replicated
     import jax
