@@ -7,14 +7,16 @@ Protocol mirrors the reference's min-time benchmarker
 (reference: tools/halide_benchmark.h, tools/RunGen.h:1267 run_for_benchmark):
 repeat batches until enough wall time has elapsed, report the best sample.
 
-Isolation: the reference benches every app as its own binary; here every app
-runs in its own forked worker process with a per-app deadline enforced by the
-parent. A blocked Mosaic compile or a crashed TPU worker costs ONE app, not
-the run: the parent SIGKILLs the stuck worker, records the error, and forks a
-fresh worker (which re-initializes the backend and health-checks it with a
-trivial op) for the remaining apps. jax is imported once in the parent BEFORE
-any backend initialization, so forked workers inherit the warm import (~2 min
-on this host) but each owns a clean device connection.
+Isolation: the reference benches every app as its own binary; here the apps
+run in a WORKER SUBPROCESS with a per-app deadline enforced by a jax-free
+parent. A blocked Mosaic compile or a crashed TPU worker costs the apps it
+was on, not the run: the parent SIGKILLs the stuck worker, records the
+error, and spawns a fresh worker (which health-checks the backend with a
+trivial op) for the remaining apps. The parent must NOT import jax: the
+axon plugin initializes its tunnel client at import time, so a forked child
+inherits a dead connection whose first op hangs forever (measured); each
+worker therefore pays the full import (~2 min) -- once in the good case,
+once more per restart.
 
 vs_baseline compares against the reference's published hand-tuned CPU times
 (BASELINE.md, embedded schedule comments in apps/*_generator.cpp), converted
@@ -78,9 +80,10 @@ PER_APP_S = {
     "camera_pipe": 120.0, "local_laplacian": 140.0, "nl_means": 120.0,
     "interpolate": 120.0, "max_filter": 120.0, "stencil_chain": 120.0,
 }
-# backend connect + health-check op; after a killed worker the TPU server
-# needs ~47s to recover and the first op after recovery takes ~47s more
-INIT_S = float(os.environ.get("BENCH_INIT_S", "130"))
+# worker startup: jax import (~130s on this host) + backend connect +
+# health-check op; after a killed worker the TPU server needs ~47s to
+# recover and the first op after recovery takes ~47s more
+INIT_S = float(os.environ.get("BENCH_INIT_S", "260"))
 
 # graphs where the fori_loop chain compile is pathological (resnet_50:
 # minutes; bilateral_grid: 400s vs 12s plain) or faults the worker
@@ -258,9 +261,12 @@ def _bench_app(name):
 
 
 def _worker(apps, path):
-    """Forked per-run worker: owns its backend connection, streams one JSON
-    event line per phase to `path`. Never raises; the parent interprets
-    silence (deadline) or death (crash) per the current app."""
+    """Worker subprocess (spawned as `bench.py --worker <path> <apps>`):
+    owns the jax import and the backend connection, streams one JSON event
+    line per phase to `path`. The parent interprets silence (deadline) or
+    death (crash) per the current app. `apps` is a list, or None for "all
+    registered apps in rank order" (the worker then reports the resolved
+    list with an `apps` event so the parent can track skips)."""
     import jax
 
     f = open(path, "a", buffering=1)
@@ -291,6 +297,16 @@ def _worker(apps, path):
     dev = jax.devices()[0]
     np.asarray(jnp.arange(1024).sum())
     w(event="device", s=str(dev))
+
+    from halide_tpu.apps import APPS, load_all
+    load_all()
+    if apps is None:
+        only = os.environ.get("BENCH_APPS")
+        apps = sorted(APPS, key=lambda n: (RANK.get(n, 99), n))
+        if only:
+            keep = only.split(",")
+            apps = [n for n in apps if n in keep]
+    w(event="apps", names=apps)
 
     fake_hang = os.environ.get("BENCH_FAKE_HANG")
     fake_crash = os.environ.get("BENCH_FAKE_CRASH")
@@ -341,18 +357,6 @@ def main():
     results, errors = {}, {}
     device = [""]
 
-    # ---- one-time warm import in the parent, BEFORE backend init (forked
-    # workers inherit it; each initializes its own device connection) ----
-    import jax  # noqa: F401
-    from halide_tpu.apps import APPS, load_all
-    load_all()
-
-    only = os.environ.get("BENCH_APPS")
-    order = sorted(APPS, key=lambda n: (RANK.get(n, 99), n))
-    if only:
-        keep = only.split(",")
-        order = [n for n in order if n in keep]
-
     path = f"/tmp/halide_tpu_bench_{os.getpid()}.jsonl"
     open(path, "w").close()
     read_pos = [0]
@@ -371,28 +375,23 @@ def main():
                     pass
         return evs
 
-    pending = list(order)
+    import subprocess
+    # pending is None until the first worker reports the resolved app list
+    pending = None
     init_failures = 0
     all_done = False
-    while pending and not all_done:
+    while (pending is None or pending) and not all_done:
         left = wall - (time.monotonic() - t_start)
         if left < 10:
             break
-        pid = os.fork()
-        if pid == 0:
-            try:
-                _worker(pending, path)
-            except BaseException as e:  # noqa: BLE001
-                try:
-                    with open(path, "a") as f:
-                        f.write(json.dumps(
-                            {"event": "error", "app": "__init__",
-                             "err": f"{type(e).__name__}: {e}"}) + "\n")
-                except Exception:
-                    pass
-            finally:
-                os._exit(0)
-        print(f"bench: worker {pid} for {len(pending)} apps",
+        csv = "ALL" if pending is None else ",".join(pending)
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--worker", path,
+             csv],
+            stdout=sys.stderr, stderr=sys.stderr,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        n_apps = "?" if pending is None else str(len(pending))
+        print(f"bench: worker {proc.pid} for {n_apps} apps",
               file=sys.stderr, flush=True)
         current = "__init__"
         t_cur = time.monotonic()
@@ -403,6 +402,9 @@ def main():
                 kind = ev.get("event")
                 if kind == "device":
                     device[0] = ev.get("s", "")
+                elif kind == "apps":
+                    if pending is None:
+                        pending = list(ev.get("names", []))
                 elif kind == "start":
                     current = ev["app"]
                     t_cur = time.monotonic()
@@ -412,7 +414,7 @@ def main():
                     results[ev["app"]] = {k: v for k, v in ev.items()
                                           if k not in ("event", "app")}
                     errors.pop(ev["app"], None)
-                    if ev["app"] in pending:
+                    if pending and ev["app"] in pending:
                         pending.remove(ev["app"])
                 elif kind == "error":
                     if ev.get("app") == "__init__":
@@ -420,18 +422,15 @@ def main():
                         errors["__init__"] = ev["err"]
                     else:
                         errors[ev["app"]] = ev["err"]
-                        if ev["app"] in pending:
+                        if pending and ev["app"] in pending:
                             pending.remove(ev["app"])
                 elif kind == "done":
                     all_done = True
             if worker_exit is not None or all_done:
                 break
-            try:
-                wpid, status = os.waitpid(pid, os.WNOHANG)
-            except ChildProcessError:
-                wpid, status = pid, -1
-            if wpid == pid:
-                worker_exit = status
+            rc = proc.poll()
+            if rc is not None:
+                worker_exit = rc
                 continue  # one final drain, then handle exit
             left = wall - (time.monotonic() - t_start)
             dl = (INIT_S if current == "__init__"
@@ -440,8 +439,8 @@ def main():
                 why = ("deadline exceeded" if left >= 5
                        else "bench wall budget exhausted")
                 try:
-                    os.kill(pid, signal.SIGKILL)
-                    os.waitpid(pid, 0)
+                    proc.kill()
+                    proc.wait(timeout=10)
                 except Exception:
                     pass
                 if current == "__init__":
@@ -449,32 +448,34 @@ def main():
                     errors["__init__"] = f"worker init {why}"
                 else:
                     errors[current] = f"killed: {why}"
-                    if current in pending:
+                    if pending and current in pending:
                         pending.remove(current)
-                print(f"bench: killed worker {pid} at {current} ({why})",
-                      file=sys.stderr, flush=True)
+                print(f"bench: killed worker {proc.pid} at {current} "
+                      f"({why})", file=sys.stderr, flush=True)
                 if left < 5:
-                    pending = []
+                    pending = pending or []
+                    pending.clear()
                 worker_exit = -9
                 break
             time.sleep(0.25)
         if all_done:
             break
         if worker_exit not in (None, -9, 0) or init_err:
-            # worker died on its own (Mosaic abort kills the process with
-            # signal 6) or failed to initialize
+            # worker died on its own (a Mosaic abort kills the process
+            # with signal 6) or failed to initialize
             if current == "__init__":
                 init_failures += 1
+                errors.setdefault(
+                    "__init__", f"worker died (rc {worker_exit})")
             else:
-                errors[current] = (
-                    f"worker died (wait status {worker_exit})")
-                if current in pending:
+                errors[current] = f"worker died (rc {worker_exit})"
+                if pending and current in pending:
                     pending.remove(current)
         if init_failures >= 2:
             errors["__init__"] = (
                 errors.get("__init__", "") + " [giving up after 2 tries]")
             break
-    for name in pending:
+    for name in (pending or []):
         errors.setdefault(name, "skipped: bench budget exhausted")
 
     ratios = [r["vs_ref_cpu"] for r in results.values()
@@ -485,4 +486,8 @@ def main():
 
 
 if __name__ == "__main__":
+    if len(sys.argv) >= 4 and sys.argv[1] == "--worker":
+        apps_arg = None if sys.argv[3] == "ALL" else sys.argv[3].split(",")
+        _worker(apps_arg, sys.argv[2])
+        sys.exit(0)
     sys.exit(main())

@@ -68,10 +68,25 @@ def build(width: int = 1536, height: int = 2560, s_sigma: int = 8,
         hl.lerp(hl.lerp(B(0, 0, 1), B(1, 0, 1), xf),
                 hl.lerp(B(0, 1, 1), B(1, 1, 1), xf), yf),
         zf)
-    interpolated.compute_root()
 
     output = hl.Func("bilateral_out")
     output[x, y] = interpolated[x, y, 0] / interpolated[x, y, 1]
+
+    # schedule: the trilinear slice is the only full-resolution stage --
+    # run it as ONE Pallas kernel per tile with the blury window staged in
+    # VMEM (x/y div-indexed windows; z handled by the fractional-slice
+    # plane unroll over the data-dependent zi). The grid construction +
+    # blurs stay on the fused-XLA path (tiny vs the slice).
+    # (reference: apps/bilateral_grid/bilateral_grid_generator.cpp:86-123
+    # -- the GPU schedule similarly tiles the slice with blury staged.)
+    if width % 256 == 0 and height % 64 == 0:
+        xo, yo, xin, yin = (hl.Var("xo"), hl.Var("yo"),
+                            hl.Var("xin"), hl.Var("yin"))
+        output.tile(x, y, xo, yo, xin, yin, 256, 64) \
+              .vectorize(xin).parallel(yo)
+        interpolated.compute_at(output, xo)
+    else:
+        interpolated.compute_root()
 
     def make_inputs(seed=0):
         rng = np.random.default_rng(seed)

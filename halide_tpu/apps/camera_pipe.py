@@ -125,7 +125,6 @@ def build(out_width: int = 2560, out_height: int = 1920,
     demosaiced = hl.Func("demosaiced")
     demosaiced[x, y, c] = hl.i16(hl.mux(c, [r_full[x, y], g_full[x, y],
                                             b_full[x, y]]))
-    demosaiced.compute_root()
 
     # ---- color correction ----------------------------------------------
     kelvin = color_temp
@@ -172,7 +171,6 @@ def build(out_width: int = 2560, out_height: int = 1920,
 
     curved = hl.Func("curved")
     curved[x, y, c] = curve[hl.clamp(hl.i32(corrected[x, y, c]), 0, 1023)]
-    curved.compute_root()
 
     # ---- sharpen --------------------------------------------------------
     strength_x32 = int(np.clip(round(sharpen_strength * 32), 0, 255))
@@ -187,6 +185,27 @@ def build(out_width: int = 2560, out_height: int = 1920,
     processed = hl.Func("processed")
     processed[x, y, c] = hl.saturating_cast(
         hl.UInt(8), curved[x, y, c] + (mask[x, y, c] * strength_x32) / 32)
+
+    # TPU schedule: the full-resolution back half of the ISP (demosaic
+    # interleave -> color matrix -> tone curve -> sharpen) runs as ONE
+    # Pallas kernel per tile, with the half-resolution planes
+    # (deinterleaved, g_r, g_b) staged through div-indexed (d=2) VMEM
+    # windows. The half-res funcs and the 4x3 matrix stay on the fused-XLA
+    # path -- they are 1/4-res and tiny respectively.
+    # (reference: apps/camera_pipe/camera_pipe_generator.cpp:383-422 --
+    # the CPU schedule likewise computes the per-tile back half at tiles
+    # of the output with the half-res planes computed ahead.)
+    if W % 256 == 0 and H % 64 == 0:
+        xo, yo, xin, yin = (hl.Var("xo"), hl.Var("yo"),
+                            hl.Var("xin"), hl.Var("yin"))
+        processed.tile(x, y, xo, yo, xin, yin, 256, 64) \
+                 .vectorize(xin).parallel(yo)
+        demosaiced.compute_at(processed, xo)
+        curved.compute_at(processed, xo)
+        unsharp_y.compute_at(processed, xo)
+    else:
+        demosaiced.compute_root()
+        curved.compute_root()
 
     def make_inputs(seed=0):
         rng = np.random.default_rng(seed)

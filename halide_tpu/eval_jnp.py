@@ -1907,6 +1907,11 @@ def try_einsum_reduce(e: Expr, ctx: Ctx, red_np_axes):
 # ---------------------------------------------------------------------------
 
 _LERP_SHIFT_MAX = 24
+# in-kernel fractional-slice unroll budget: planes x per-plane expr nodes
+# (Mosaic hangs -- uncatchably -- on very large unrolled kernels)
+import os as _os_env  # noqa: E402
+_KERNEL_PLANE_NODES = int(_os_env.environ.get(
+    "HALIDE_TPU_KERNEL_PLANE_NODES", "768"))
 
 
 def _peel_const_add(x):
@@ -2058,11 +2063,23 @@ def _shift_sum(E0, E1, w0_e, w1_e, out_t, ctx: Ctx):
     nplanes = size + (1 if extra_clamped_plane else 0)
     if size > _LERP_SHIFT_MAX:
         return None
-    if getattr(ctx, "in_kernel", False) and nplanes > 8:
-        # a >8-plane unroll inside a Mosaic kernel hangs the backend
-        # compiler; refuse so the group lowering falls back to XLA cleanly
-        raise PallasUnsupported("fractional-slice plane unroll too large "
-                                "for a kernel")
+    if getattr(ctx, "in_kernel", False):
+        # Mosaic compile time explodes (hangs, uncatchable) on large
+        # unrolled kernels; the danger scales with the UNROLLED size =
+        # planes x per-plane tower nodes, not the plane count alone.
+        # bilateral_grid's slice needs ~13 planes of ~40-node towers
+        # (fine); round-2's hang was 8+ planes of big towers.
+        nE = 0
+
+        def _cnt2(_x):
+            nonlocal nE
+            nE += 1
+
+        walk(E0, _cnt2)
+        if nplanes * nE > _KERNEL_PLANE_NODES or nplanes > 32:
+            raise PallasUnsupported(
+                "fractional-slice plane unroll too large for a kernel: "
+                f"{nplanes} planes x {nE} nodes")
     # every call in E0 that uses idx_e at argpos must be a deviation site,
     # else substitution would also change an unshifted read
     n_candidates = 0

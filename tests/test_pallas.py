@@ -80,3 +80,45 @@ def test_unsupported_schedule_falls_back():
     f.split(x, xo, xi, 16)
     out = f.realize([W]).to_numpy()
     np.testing.assert_array_equal(out, np.clip(img, 0, 63) * 10)
+
+
+def _app_engages_and_matches(name, **kw):
+    """Engagement spy: the app's scheduled group must actually lower to a
+    Pallas kernel (silent fallback fails the test), and match its golden."""
+    from halide_tpu.apps import get
+    from halide_tpu.ops import pallas_group as pg
+    app = get(name)(**kw)
+    data = app.make_inputs()
+    app.bind(data)
+    calls = []
+    orig = pg.try_pallas_group
+
+    def spy(*a, **kwa):
+        r = orig(*a, **kwa)
+        calls.append(r is not None)
+        return r
+
+    pg.try_pallas_group = spy
+    try:
+        got = np.asarray(app.realize().to_numpy())
+    finally:
+        pg.try_pallas_group = orig
+    assert calls and any(calls), \
+        f"{name}: pallas group did not engage ({pg._last_reject})"
+    ref = np.asarray(app.reference(**data))
+    err = np.abs(got.astype(np.float64) - ref.astype(np.float64))
+    tol = app.tolerance * np.maximum(1.0, np.abs(ref)) + max(app.atol, 1e-12)
+    assert float((err > tol).mean()) <= app.mismatch_frac
+
+
+def test_bilateral_grid_slice_kernel_engages():
+    # the trilinear slice tile schedule must reach the Pallas path (z via
+    # the in-kernel fractional-slice plane unroll, x/y via div windows)
+    _app_engages_and_matches("bilateral_grid", width=512, height=128)
+
+
+def test_camera_pipe_isp_kernel_engages():
+    # the full-res back half of the ISP (demosaic interleave -> color
+    # matrix -> tone curve -> sharpen) must lower to one Pallas kernel
+    # with half-res planes staged via d=2 div-indexed windows; bit-exact
+    _app_engages_and_matches("camera_pipe", out_width=512, out_height=128)
