@@ -102,6 +102,15 @@ RANK = {n: i for i, n in enumerate([
     "wavelet", "resize", "linear_blur", "fft", "sgemm", "saxpy",
     "sdot", "sgemv", "resnet_50", "lens_blur"])}
 
+# autoscheduler-vs-manual comparison set: re-benched with
+# apply_autoscheduler driving the schedule (reported as `auto:<app>`,
+# excluded from the headline geomean; reference: apps/*/filter.cpp's
+# Manually-tuned vs Auto-scheduled print)
+AUTOSCHED_SET = ("unsharp", "harris", "wavelet", "gaussian_blur",
+                 "linear_blur")
+for _n in AUTOSCHED_SET:
+    RANK[f"auto:{_n}"] = 24.5   # after the core set, before resnet/lens
+
 
 def _force(out):
     """Force execution to completion with a host readback (the attached
@@ -220,13 +229,21 @@ class _SkipChain(Exception):
 
 
 def _bench_app(name):
-    """Build, check, and time one app. Returns a result dict."""
+    """Build, check, and time one app. Returns a result dict.
+    `auto:<app>` entries rebuild the app and let the autoscheduler drive
+    the schedule instead of the hand-written one (reference:
+    apps/*/filter.cpp prints Manually-tuned vs Auto-scheduled times)."""
     from halide_tpu.apps import APPS
-    builder = APPS[name]
+    autosched = name.startswith("auto:")
+    base = name[5:] if autosched else name
+    builder = APPS[base]
     try:
-        app = builder(**APP_SIZES.get(name, CANONICAL))
+        app = builder(**APP_SIZES.get(base, CANONICAL))
     except TypeError:
         app = builder()
+    if autosched:
+        from halide_tpu.autoschedule import apply_autoscheduler
+        apply_autoscheduler(app.pipeline)
     data = app.make_inputs()
     app.bind(data)
     if os.environ.get("BENCH_CHECK"):
@@ -236,6 +253,8 @@ def _bench_app(name):
         gl = [np.asarray(g) for g in
               (got if isinstance(got, (list, tuple)) else [got])]
         refv = app.reference(**data)
+        if refv is None:
+            refv = []   # stochastic app (lens_blur): structural-only
         refs = refv if isinstance(refv, (list, tuple)) else [refv]
         worst = 0.0
         for g, rf in zip(gl, refs):
@@ -248,10 +267,10 @@ def _bench_app(name):
             # a miscompiled-but-fast app must not inflate the headline
             # geomean: record the failure and skip it
             raise RuntimeError(f"CHECK FAILED: badfrac {worst:.4f}")
-    dt = bench_one(app, chain=name not in NO_CHAIN)
+    dt = bench_one(app, chain=base not in NO_CHAIN)
     mps = app.megapixels / dt
     res = {"ms": dt * 1e3, "mp_per_s": mps}
-    if name in REF_CPU_MS:
+    if not autosched and name in REF_CPU_MS:
         # the reference numbers are at the same canonical workload
         # unless REF_MP overrides (blur/camera use their own sizes)
         ref_mp = REF_MP.get(name, app.megapixels)
@@ -302,10 +321,14 @@ def _worker(apps, path):
     load_all()
     if apps is None:
         only = os.environ.get("BENCH_APPS")
-        apps = sorted(APPS, key=lambda n: (RANK.get(n, 99), n))
+        apps = list(APPS) + [f"auto:{n}" for n in AUTOSCHED_SET
+                             if n in APPS]
+        apps = sorted(apps, key=lambda n: (RANK.get(n, 99), n))
         if only:
             keep = only.split(",")
-            apps = [n for n in apps if n in keep]
+            apps = [n for n in apps
+                    if n in keep or (n.startswith("auto:")
+                                     and n[5:] in keep)]
     w(event="apps", names=apps)
 
     fake_hang = os.environ.get("BENCH_FAKE_HANG")
@@ -334,7 +357,10 @@ def _emit(results, ratios, errors, device=""):
                           "unit": "MP/s", "vs_baseline": 0.0,
                           "errors": errors}), flush=True)
         return
-    vals = [r["mp_per_s"] for r in results.values()]
+    vals = [r["mp_per_s"] for k, r in results.items()
+            if not k.startswith("auto:")]
+    if not vals:
+        vals = [r["mp_per_s"] for r in results.values()]
     geo = math.exp(sum(math.log(max(v, 1e-9)) for v in vals) / len(vals))
     vs = (math.exp(sum(math.log(max(r, 1e-9)) for r in ratios)
                    / len(ratios)) if ratios else 0.0)

@@ -150,10 +150,39 @@ def build(width: int = 192, height: int = 320, slices: int = 32,
 
     su_s = sample_locations[x, y, s.x][0]
     sv_s = sample_locations[x, y, s.x][1]
-    output[x, y, c] += sample_weight[x, y, s.x] \
-        * input_with_alpha[hl.clamp(x + su_s, -max_blur, width - 1 + max_blur),
-                           hl.clamp(y + sv_s, -max_blur, height - 1 + max_blur),
-                           c]
+    if max_blur > 0:
+        # TPU-first accumulation: the naive form gathers input at a
+        # data-dependent (su, sv) per (pixel, sample) -- ~150M serialized
+        # gather lookups at canonical size (~66M idx/s measured on v5e =
+        # 2.5 s/frame). Instead, histogram the samples' offsets into a
+        # dense per-pixel weight plane over the (2B+1)^2 offset window
+        # (a small-target scatter: rides the factored one-hot MXU
+        # engine), then accumulate STATIC shifted reads weighted by it:
+        #   sum_s w_s * in[x+su_s, y+sv_s]
+        #     == sum_k (sum_s w_s * [code_s == k]) * in[x+du_k, y+dv_k]
+        # Same values (weights are 0/1 sums), no gathers anywhere.
+        K = 2 * max_blur + 1
+        bokeh_w = hl.Func("bokeh_w")
+        bokeh_w[x, y, z] = 0.0
+        # the use-site clamps are inert (sample_locations already clamps
+        # to [-max_blur, max_blur]) but give the bounds engine a static
+        # range for the scatter target
+        su_c = hl.clamp(su_s, -max_blur, max_blur)
+        sv_c = hl.clamp(sv_s, -max_blur, max_blur)
+        bokeh_w[x, y, (su_c + max_blur) * K + (sv_c + max_blur)] += \
+            sample_weight[x, y, s.x]
+        bokeh_w.compute_root()
+        ruv = hl.RDom(-max_blur, K, -max_blur, K, "ruv")
+        output[x, y, c] += \
+            bokeh_w[x, y, (ruv.x + max_blur) * K + (ruv.y + max_blur)] \
+            * input_with_alpha[
+                hl.clamp(x + ruv.x, -max_blur, width - 1 + max_blur),
+                hl.clamp(y + ruv.y, -max_blur, height - 1 + max_blur), c]
+    else:
+        output[x, y, c] += sample_weight[x, y, s.x] \
+            * input_with_alpha[
+                hl.clamp(x + su_s, -max_blur, width - 1 + max_blur),
+                hl.clamp(y + sv_s, -max_blur, height - 1 + max_blur), c]
 
     final = hl.Func("final")
     final[x, y, c] = output[x, y, c] / output[x, y, 3]

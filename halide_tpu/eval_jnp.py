@@ -687,6 +687,55 @@ def _read_realized(real: Realized, e: E.Call, ctx: Ctx):
     return _affine_read(P, real, args, ctx)
 
 
+def _kernel_repeat(P, div, npax, ctx: Ctx):
+    """Element-repeat along axis `npax`, safe inside a Mosaic kernel.
+
+    Mosaic cannot lower jnp.repeat on vectors (the round-2 probe gate).
+    In-kernel lowerings that DO work:
+    - sublane (minor-2) axis: a 0/1 expansion matmul on the MXU,
+      R[r, k] = [k == r//div], unrolled over leading dims. Each output
+      row has exactly ONE unit weight, so the f32 dot is EXACT for f32
+      values and for integers < 2^24 (cast round-trips).
+    - leading axes: unrolled concat of static slices.
+    Lane-axis repeats must arrive host-pre-expanded (Realized.prediv).
+    """
+    if not getattr(ctx, "in_kernel", False):
+        return jnp.repeat(P, div, axis=npax)
+    nd = P.ndim
+    if npax == nd - 1:
+        raise PallasUnsupported("lane repeat inside a kernel")
+    n = P.shape[npax]
+    wide_int = P.dtype.kind in "iu" and P.dtype.itemsize >= 4
+    if npax == nd - 2 and not wide_int:
+        # R[r, k] = [k == r // div], built IN-KERNEL from iotas (a pallas
+        # kernel may not capture constant arrays; Mosaic has no integer
+        # div, so the row//div uses the f32-reciprocal fixup form)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (n * div, n), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (n * div, n), 1)
+        Rj = (cols == _floor_div_const(rows, div, Int(32))) \
+            .astype(jnp.float32)
+        Pf = P.astype(jnp.float32)
+        lead = P.shape[:nd - 2]
+
+        def rec(idx):
+            if len(idx) == len(lead):
+                sl = Pf[idx] if idx else Pf
+                return jax.lax.dot(Rj, sl,
+                                   precision=jax.lax.Precision.HIGHEST)
+            return jnp.stack([rec(idx + (i,))
+                              for i in range(lead[len(idx)])])
+
+        return rec(()).astype(P.dtype)
+    # leading axis (or wide int): unrolled concat of static slices
+    sls = []
+    for k in range(n):
+        idx = [slice(None)] * nd
+        idx[npax] = slice(k, k + 1)
+        sk = P[tuple(idx)]
+        sls.extend([sk] * div)
+    return jnp.concatenate(sls, axis=npax)
+
+
 def _memo_repeat(P, div, npax, ctx: Ctx):
     """Div-repeated view of a producer, cached per (array, axis, factor) so
     the N corner reads of an upsample/slice pattern share ONE repeat instead
@@ -695,7 +744,7 @@ def _memo_repeat(P, div, npax, ctx: Ctx):
     key = ("divrep", id(P), npax, div)
     hit = ctx.shared.get(key)
     if hit is None:
-        hit = (jnp.repeat(P, div, axis=npax), P)
+        hit = (_kernel_repeat(P, div, npax, ctx), P)
         ctx.shared[key] = hit
     return hit[0]
 
@@ -741,12 +790,12 @@ def _traced_div_cancel(P, real: Realized, args, ctx: Ctx):
         elif _is_static(ax.min) and _is_static(wm):
             # fully static dim (e.g. a full-width tile axis): the plain
             # repeat transform, independent of other dims' traced origins
-            P2 = jnp.repeat(P2, av.div, axis=npax)
+            P2 = _kernel_repeat(P2, av.div, npax, ctx)
             mins2[j] = int(wm) * av.div
         elif isinstance(ax.min, SymOff) and isinstance(wm, SymOff) \
                 and wm.sym == f"__div{av.div}_{ax.min.sym}":
             s = ax.min.sym
-            P2 = jnp.repeat(P2, av.div, axis=npax)
+            P2 = _kernel_repeat(P2, av.div, npax, ctx)
             mins2[j] = SymOff(s, wm.off * av.div)
         else:
             return None

@@ -672,9 +672,14 @@ class Func:
         replicated edge rows). The reference is single-node -- this is the
         TPU-native extension planned in SURVEY.md SS2.5/2.6."""
         name = var.name if hasattr(var, "name") else str(var)
-        if not any(v.name == name for v in self._args):
+        is_pure = any(v.name == name for v in self._args)
+        is_rvar = any(
+            d.rdom is not None and any(rv.name == name for rv in d.rdom.dims)
+            for d in self._defs[1:])
+        if not (is_pure or is_rvar):
             raise CompileError(
-                f"distribute: {self.name} has no pure dim {name!r}")
+                f"distribute: {self.name} has no pure dim or reduction "
+                f"var {name!r}")
         self._fschedule.distributed = (name, axis_name)
         return self
 

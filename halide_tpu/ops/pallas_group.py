@@ -71,26 +71,39 @@ _REPEAT_OK: Optional[bool] = None
 
 
 def _repeat_kernel_ok() -> bool:
-    """One-time probe: can Mosaic lower a SUBLANE jnp.repeat inside a
-    kernel on this backend? (Lane-axis repeats are handled by host-side
-    pre-expansion instead -- Mosaic cannot interleave lanes.) A backend
+    """One-time probe: does the in-kernel SUBLANE element-repeat lowering
+    (eval_jnp._kernel_repeat: one-hot expansion matmul on the MXU --
+    plain jnp.repeat does NOT lower on this backend) compile? A backend
     lowering failure at realize time is uncatchable, so probe eagerly
-    (tiny kernel, blocking) and gate the feature on the answer."""
+    (tiny kernel, blocking) and gate the feature on the answer.
+    (Lane-axis repeats are handled by host-side pre-expansion instead --
+    Mosaic cannot interleave lanes.)"""
     global _REPEAT_OK
     if _REPEAT_OK is not None:
         return _REPEAT_OK
     try:
         import jax.experimental.pallas as pl
+        from ..eval_jnp import _kernel_repeat
+
+        class _KCtx:
+            in_kernel = True
 
         def k(i_ref, o_ref):
-            o_ref[...] = jnp.repeat(i_ref[...], 2, axis=0)
+            o_ref[...] = _kernel_repeat(i_ref[...], 2, 1, _KCtx())
 
-        x = jnp.zeros((8, 128), jnp.float32)
-        r = pl.pallas_call(
-            k, out_shape=jax.ShapeDtypeStruct((16, 128), jnp.float32))(x)
-        np.asarray(r)    # block: surface any backend compile error here
+        call = pl.pallas_call(
+            k, out_shape=jax.ShapeDtypeStruct((3, 16, 128), jnp.float32))
+        # compile WITHOUT executing, via an abstract lowering: the probe
+        # runs inside try_pallas_group, which may itself be under an
+        # ambient jit trace -- executing there would leak a tracer
+        # (np.asarray on a Tracer raises and falsely fails the probe)
+        jax.jit(lambda x2: call(x2)).lower(
+            jax.ShapeDtypeStruct((3, 8, 128), jnp.float32)).compile()
         _REPEAT_OK = True
     except Exception:
+        if _os.environ.get("HT_DEBUG_PROBE"):
+            import traceback
+            traceback.print_exc()
         _REPEAT_OK = False
     return _REPEAT_OK
 

@@ -134,23 +134,48 @@ def _input_footprints(pipeline, regions):
 
 
 def distributed_realize(pipeline, sizes, mesh: Mesh, axis_name: str,
-                        dim: int):
+                        var_name: str):
+    """The distribute() schedule directive's engine. Dispatch on what the
+    named var is: a pure output dim -> spatial sharding with halo
+    exchange (`_distributed_spatial`); a reduction var -> local partials
+    + a psum-family collective (`_distributed_reduce`, the SURVEY §2.6
+    plan (b)). Returns a list of per-output global arrays."""
+    out0 = pipeline.outputs[0]
+    if any(v.name == var_name for v in out0._args):
+        dim = [v.name for v in out0._args].index(var_name)
+        return _distributed_spatial(pipeline, sizes, mesh, axis_name, dim)
+    return _distributed_reduce(pipeline, sizes, mesh, axis_name, var_name)
+
+
+def _distributed_spatial(pipeline, sizes, mesh: Mesh, axis_name: str,
+                         dim: int):
     """Realize `pipeline` with output dim `dim` sharded across
-    mesh[axis_name] (the distribute() schedule directive's engine).
+    mesh[axis_name].
 
     Inputs whose dim-`dim` footprint tracks the shard are sharded with
     bounds-inferred halos (exchanged over ICI via ppermute, global edges
     replicated); inputs whose footprint is shard-independent are
-    replicated whole. Returns the global output array (numpy axis order),
-    sharded P(axis_name) along the distributed dim."""
+    replicated whole. Multi-output pipelines shard every output along its
+    own dim of the same name (they must all carry it at the same index).
+    Returns per-output global arrays (numpy axis order), sharded
+    P(axis_name) along the distributed dim."""
     from ..buffer import Buffer, ImageParam
     from ..bounds import Box, Interval
     from ..expr import CompileError
 
     n = int(mesh.shape[axis_name])
     out_f = pipeline.outputs[0]
-    if len(pipeline.outputs) != 1:
-        raise CompileError("distribute: single-output pipelines only (v2)")
+    var_name = out_f._args[dim].name
+    for fo in pipeline.outputs[1:]:
+        names = [v.name for v in fo._args]
+        if var_name not in names or names.index(var_name) != dim:
+            raise CompileError(
+                f"distribute: output {fo.name} must carry dim "
+                f"{var_name!r} at position {dim}")
+    for fo in pipeline.outputs:
+        if len(fo._defs[0].values) != 1:
+            raise CompileError(
+                "distribute: tuple-valued outputs not supported (v2)")
     nd = out_f.dimensions()
     if isinstance(sizes, int):
         sizes = [sizes]
@@ -175,10 +200,14 @@ def distributed_realize(pipeline, sizes, mesh: Mesh, axis_name: str,
         lo = pi * s
         dims = list(full_box.dims)
         dims[dim] = Interval(lo, lo + s - 1)
-        gi, fp = _input_footprints(pipeline, {id(out_f): Box(dims)})
+        gi, fp = _input_footprints(
+            pipeline, {id(fo): Box(list(dims))
+                       for fo in pipeline.outputs})
         g = g or gi
         probes.append((lo, fp))
-    _g2, fp_full = _input_footprints(pipeline, {id(out_f): full_box})
+    _g2, fp_full = _input_footprints(
+        pipeline, {id(fo): Box(list(full_box.dims))
+                   for fo in pipeline.outputs})
 
     plans = []       # per input: (obj, buf, sharded?, h_lo, h_hi, npax)
     for t in g.inputs.values():
@@ -252,16 +281,237 @@ def distributed_realize(pipeline, sizes, mesh: Mesh, axis_name: str,
                 x = jnp.concatenate(parts, axis=npax)
             locals_.append(x)
         out = fn(tuple(locals_), presets)
-        # run() returns per-output tuples of value arrays; v2 is
-        # single-output single-value
-        while isinstance(out, (tuple, list)):
-            out = out[0]
-        return out
+        # run() returns per-output tuples of value arrays (single-value
+        # checked above): flatten to one array per output
+        return tuple(vals[0] for vals in out)
 
-    out_npax = nd - 1 - dim
-    out_spec_l = [None] * nd
-    out_spec_l[out_npax] = axis_name
+    out_specs = []
+    for fo in pipeline.outputs:
+        ndo = fo.dimensions()
+        spec = [None] * ndo
+        spec[ndo - 1 - dim] = axis_name
+        out_specs.append(P(*spec))
     jf = jax.jit(shard_map(shard_fn, mesh=mesh,
                            in_specs=tuple(in_specs),
-                           out_specs=P(*out_spec_l)))
-    return jf(*[buf.data for (_t, buf, *_rest) in plans])
+                           out_specs=tuple(out_specs)))
+    return list(jf(*[buf.data for (_t, buf, *_rest) in plans]))
+
+
+def _static_rint(e):
+    from ..expr import CompileError
+    from .. import expr as E
+    if isinstance(e, int):
+        return e
+    if isinstance(e, E.IntImm):
+        return int(e.value)
+    raise CompileError(
+        "distribute(rvar): reduction domain bounds must be static ints")
+
+
+def _distributed_reduce(pipeline, sizes, mesh: Mesh, axis_name: str,
+                        rvar_name: str):
+    """f.distribute(r.y, axis): shard the REDUCTION domain across
+    mesh[axis_name]. Each device evaluates the update over its slice of
+    the RDom against its slab of the inputs whose footprint tracks the
+    slice (others replicate); partials combine with the op's collective
+    (psum / pmin / pmax riding ICI) and the result is replicated.
+    SURVEY §2.6 plan (b); the reference has no multi-node analog.
+
+    v2 scope: the sharded update must be the func's last definition, its
+    combine must decompose to an associative op with an identity init,
+    and the pipeline output must be the reduction func itself."""
+    from ..buffer import Buffer, ImageParam
+    from ..bounds import Box, Interval
+    from ..expr import CompileError, to_expr
+    from ..updates import _decompose_combine, _identity_for
+    from .. import expr as E
+
+    n = int(mesh.shape[axis_name])
+    if len(pipeline.outputs) != 1:
+        raise CompileError(
+            "distribute(rvar): single-output pipelines only (v2)")
+    f = pipeline.outputs[0]
+    the_def = rv = None
+    for d in f._defs[1:]:
+        if d.rdom is not None:
+            for rvd in d.rdom.dims:
+                if rvd.name == rvar_name:
+                    the_def, rv = d, rvd
+    if the_def is None:
+        raise CompileError(
+            f"distribute: {f.name} has no reduction var {rvar_name!r}")
+    if the_def is not f._defs[-1]:
+        raise CompileError(
+            "distribute(rvar): the sharded update must be the last "
+            "definition (v2)")
+
+    # the combine must be an associative op whose identity is the init
+    # value, so partials composed with the collective equal the serial
+    # reduction (the rfactor legality argument, updates._decompose_combine)
+    ops = []
+    for vi, val in enumerate(the_def.values):
+        dec = _decompose_combine(val, f, the_def.args, vi)
+        if dec is None:
+            raise CompileError(
+                "distribute(rvar): update is not a recognized "
+                "associative combine (op(self, expr))")
+        op = dec[0]
+        if op not in ("add", "min", "max"):
+            raise CompileError(
+                f"distribute(rvar): no collective for op {op!r}")
+        ops.append(op)
+        iv = f._defs[0].values[vi]
+        ident = _identity_for(op, iv.dtype)
+        isv = None
+        if isinstance(iv, (E.IntImm, E.FloatImm)):
+            isv = iv.value
+        if isv is None or float(isv) != float(ident):
+            raise CompileError(
+                "distribute(rvar): init value must be the combine's "
+                f"identity ({ident}) so shard partials compose")
+
+    rmin = _static_rint(rv.rmin)
+    rext = _static_rint(rv.rextent)
+    if rext % n != 0:
+        raise CompileError(
+            f"distribute(rvar): extent {rext} not divisible by mesh "
+            f"axis {axis_name}={n}")
+    chunk = rext // n
+
+    # footprint probes with the rvar restricted to shard slices classify
+    # each input: dims that shift by chunk-steps shard, others replicate
+    if isinstance(sizes, int):
+        sizes = [sizes]
+    out_box = Box([Interval(0, int(sz) - 1) for sz in sizes])
+    probe_idx = sorted({0, n // 2, n - 1})
+    saved_dom = (rv.rmin, rv.rextent)
+
+    def probe(lo, ext):
+        rv.rmin, rv.rextent = to_expr(lo), to_expr(ext)
+        try:
+            return _input_footprints(pipeline, {id(f): out_box})
+        finally:
+            rv.rmin, rv.rextent = saved_dom
+
+    g = None
+    probes = []
+    for pi in probe_idx:
+        gi, fp = probe(rmin + pi * chunk, chunk)
+        g = g or gi
+        probes.append((pi, fp))
+    _gf, fp_full = _input_footprints(pipeline, {id(f): out_box})
+
+    plans = []    # (obj, buf, sharded?, h_lo, h_hi, npax, dimj)
+    for t in g.inputs.values():
+        buf = t.get() if isinstance(t, ImageParam) else t
+        bf = fp_full.get(id(t))
+        ndt = buf.data.ndim
+        boxes = [(pi, fp.get(id(t))) for pi, fp in probes]
+        if bf is None or any(b is None or not b.bounded()
+                             for _pi, b in boxes):
+            plans.append((t, buf, False, 0, 0, 0, -1))
+            continue
+        # find the (single) dim whose footprint tracks the rdom slice
+        track = []
+        for j in range(min(t.dimensions(), ndt)):
+            los = [int(b.dims[j].lo) for _pi, b in boxes]
+            his = [int(b.dims[j].hi) for _pi, b in boxes]
+            if los[0] == int(bf.dims[j].lo) and \
+                    his[0] == int(bf.dims[j].hi) and \
+                    all(lo == los[0] for lo in los) and \
+                    all(hi == his[0] for hi in his):
+                continue
+            track.append((j, los, his))
+        if not track:
+            plans.append((t, buf, False, 0, 0, 0, -1))
+            continue
+        if len(track) > 1:
+            raise CompileError(
+                f"distribute(rvar): input {getattr(t, 'name', '?')} "
+                "tracks the reduction on more than one dim (v2)")
+        j, los, his = track[0]
+        npax = ndt - 1 - j
+        ext_j = buf.data.shape[npax]
+        if ext_j % n != 0:
+            raise CompileError(
+                f"distribute(rvar): input {getattr(t, 'name', '?')} dim "
+                f"{j} extent {ext_j} not divisible by {n}")
+        dim_chunk = ext_j // n
+        # footprints must shift exactly with the slice (shift-covariant)
+        for (pi, _b), lo, hi in zip(boxes, los, his):
+            if lo != los[0] + pi * dim_chunk or \
+                    hi != his[0] + pi * dim_chunk:
+                raise CompileError(
+                    f"distribute(rvar): input "
+                    f"{getattr(t, 'name', '?')} dim {j} footprint does "
+                    "not shift uniformly with the reduction slice")
+        mn_j = int(buf._mins[j])
+        h_lo = max(0, mn_j - los[0])
+        h_hi = max(0, his[0] - (mn_j + dim_chunk - 1))
+        if h_lo > dim_chunk or h_hi > dim_chunk:
+            raise CompileError(
+                "distribute(rvar): reduction halo wider than the shard")
+        plans.append((t, buf, True, h_lo, h_hi, npax, j))
+
+    # per-shard executor: rvar restricted to its local slice, sharded
+    # inputs bound to local slabs (shard-0 coordinates; shift-covariance
+    # makes the same program correct on every shard). The executor
+    # resolves RDom bounds at CALL time, so the rvar stays mutated until
+    # the sharded run below completes.
+    saved_bufs = []
+    rv.rmin, rv.rextent = to_expr(rmin), to_expr(chunk)
+    try:
+        try:
+            for (t, buf, sharded, h_lo, h_hi, npax, j) in plans:
+                if not (sharded and isinstance(t, ImageParam)):
+                    continue
+                saved_bufs.append((t, buf))
+                shape = list(buf.data.shape)
+                shape[npax] = shape[npax] // n + h_lo + h_hi
+                mins = list(buf._mins)
+                mins[j] = mins[j] - h_lo
+                dummy = Buffer(jnp.zeros(tuple(shape), buf.data.dtype),
+                               mins=tuple(mins), name=buf.name)
+                t.set(dummy)
+            fn, _arrs, _r, presets = pipeline._prepare(sizes, jit=False)
+        finally:
+            for t, buf in saved_bufs:
+                t.set(buf)
+
+        in_specs = []
+        for (t, buf, sharded, h_lo, h_hi, npax, j) in plans:
+            spec = [None] * buf.data.ndim
+            if sharded:
+                spec[npax] = axis_name
+            in_specs.append(P(*spec))
+
+        def shard_fn(*global_shards):
+            locals_ = []
+            for x, (t, buf, sharded, h_lo, h_hi, npax, j) in zip(
+                    global_shards, plans):
+                if sharded and (h_lo or h_hi):
+                    top, bot = _exchange(x, h_lo, h_hi, npax, axis_name, n)
+                    parts = [p for p in (top, x, bot) if p is not None]
+                    x = jnp.concatenate(parts, axis=npax)
+                locals_.append(x)
+            out = fn(tuple(locals_), presets)
+            vals = out[0]
+            combined = []
+            for v, op in zip(vals, ops):
+                if op == "add":
+                    combined.append(jax.lax.psum(v, axis_name))
+                elif op == "min":
+                    combined.append(jax.lax.pmin(v, axis_name))
+                else:
+                    combined.append(jax.lax.pmax(v, axis_name))
+            return tuple(combined)
+
+        out_specs = tuple(P() for _ in f._defs[0].values)
+        jf = jax.jit(shard_map(shard_fn, mesh=mesh,
+                               in_specs=tuple(in_specs),
+                               out_specs=out_specs))
+        res = jf(*[buf.data for (_t, buf, *_rest) in plans])
+        res = jax.block_until_ready(res)
+    finally:
+        rv.rmin, rv.rextent = saved_dom
+    return [res[0] if len(res) == 1 else res]

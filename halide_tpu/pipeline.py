@@ -631,16 +631,19 @@ class Pipeline:
         elif isinstance(target, str):
             target = Target(target)
         # distribute() directive + a mesh: shard across chips with
-        # bounds-inferred halo exchange (parallel/distribute.py)
-        dist = self.outputs[0]._fschedule.distributed \
-            if len(self.outputs) == 1 else None
+        # bounds-inferred halo exchange, or -- when the named var is a
+        # reduction var -- local partials + a psum-family collective
+        # (parallel/distribute.py)
+        dist = self.outputs[0]._fschedule.distributed
         if mesh is not None and dist is not None:
             from .buffer import Buffer
             from .parallel.distribute import distributed_realize
             var_name, axis_name = dist
-            dimi = [v.name for v in self.outputs[0]._args].index(var_name)
-            data = distributed_realize(self, sizes, mesh, axis_name, dimi)
-            return Buffer(data, name=self.outputs[0].name)
+            datas = distributed_realize(self, sizes, mesh, axis_name,
+                                        var_name)
+            bufs = [Buffer(d, name=f.name)
+                    for f, d in zip(self.outputs, datas)]
+            return bufs[0] if len(bufs) == 1 else Realization(bufs)
         # target feature wiring (reference: Target.h features + JIT env)
         tr_installed = False
         if target.has_feature("trace_all") and self.trace is None:

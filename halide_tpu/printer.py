@@ -43,13 +43,24 @@ def expr_to_str(e) -> str:
                 f"{expr_to_str(e.false_value)})")
     if isinstance(e, E.Call):
         args = ", ".join(expr_to_str(a) for a in e.args)
-        name = getattr(e.target, "name", str(e.target))
+        # NOTE: the str() fallback must be LAZY -- getattr's default arg is
+        # evaluated eagerly, and str(Func) reprs the producer's whole
+        # definition, making every Call print its full upstream graph
+        # (exponential on deep inline chains; lens_blur hung here)
+        name = e.target.name if hasattr(e.target, "name") else str(e.target)
         if e.value_index:
             return f"{name}({args})[{e.value_index}]"
         return f"{name}({args})"
     if isinstance(e, E.Intrin):
-        args = ", ".join(
-            expr_to_str(a) if isinstance(a, E.Expr) else repr(a) for a in e.args)
+        def _arg_str(a):
+            if isinstance(a, E.Expr):
+                return expr_to_str(a)
+            # objects (Funcs, params) print by name only -- repr(Func)
+            # embeds its definition and recurses through the graph
+            if hasattr(a, "name") and not isinstance(a, (int, float, str)):
+                return str(a.name)
+            return repr(a)
+        args = ", ".join(_arg_str(a) for a in e.args)
         return f"{e.name}({args})"
     if isinstance(e, E.Let):
         return (f"(let {e.name} = {expr_to_str(e.value)} in "

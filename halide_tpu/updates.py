@@ -882,7 +882,13 @@ def _dense_scatter_applies(func, d, current, base_ctx, rdom_axes, ops):
     grid = 1
     for s in full_shape(inner, grid_axes):
         grid *= s
-    return k_dd * grid <= (1 << 31)
+    # mirror _dense_small_scatter's footprint: the factored MXU path only
+    # touches grid * 2*sqrt(K), so larger grids stay eligible
+    fact = (all(op == "add" for op, _ in ops)
+            and k_dd >= onehot_mxu.MIN_FACTOR_K
+            and cur0.dtype.kind == "f")
+    eff_k = 2 * int(math.isqrt(k_dd - 1) + 1) if fact else k_dd
+    return eff_k * grid <= (1 << 31)
 
 
 def _value_abs_bound(vexpr, vtype):
@@ -1025,8 +1031,14 @@ def _general_scatter(func, d, current, base_ctx, inner, rdom_axes, ops,
         for a in range(nd_cur):
             if not identity[nd_cur - 1 - a]:
                 k_dd *= cur.shape[a]
+        # effective widening of the compare-reduce: the factored MXU path
+        # (two ~sqrt(K) one-hots, ops/onehot_mxu.py) touches grid*2*sqrt(K)
+        # elements, not grid*K -- gate on what will actually materialize
+        _fact = (op in ("add", "sub") and k_dd >= onehot_mxu.MIN_FACTOR_K
+                 and jnp.issubdtype(cur.dtype, jnp.floating))
+        _eff_k = 2 * int(math.isqrt(k_dd - 1) + 1) if _fact else k_dd
         if op != "set" and rdom_axes and k_dd <= _DENSE_SCATTER_MAX \
-                and k_dd * garr.size <= (1 << 31):
+                and _eff_k * garr.size <= (1 << 31):
             nv = _dense_small_scatter(cur, op, garr, this_idx,
                                       d.values[i].dtype, identity, inner,
                                       rdom_axes, vexpr=g)

@@ -323,3 +323,45 @@ def test_fractional_slice_top_plane_clamps():
     wn = vals - vals.astype(np.int32)
     ref = (1 - wn) * (ivn * 10.0) + wn * ((ivn + 1) * 10.0)
     np.testing.assert_allclose(got, ref.astype(np.float32), rtol=1e-6)
+
+
+def test_tpu_transposed_double_scan_mitigation():
+    # Round-2 found an XLA:TPU miscompile: a fully-fused transpose-
+    # sandwiched double-scan graph computed wrong values under jit on
+    # exactly the first half of the scanned positions (eager exact, same
+    # trace). The mitigation pins every update-stage materialization with
+    # optimization_barrier (pipeline._evaluate_func). This repro asserts
+    # the mitigation holds; it only means anything on the TPU backend
+    # (the bug is invisible on CPU).
+    import jax
+    if jax.default_backend() != "tpu":
+        pytest.skip("TPU-only repro: the miscompile is invisible on CPU")
+    W = H = 96
+    alpha = 0.1
+    rng = np.random.default_rng(21)
+    img = rng.random((H, W)).astype(np.float32)
+
+    x, y = hl.Var("x"), hl.Var("y")
+    inp = hl.ImageParam(hl.Float(32), 2, "ds_in")
+    inp.set(img)
+    r = hl.RDom(1, H - 1, "ds_r")
+    b1 = hl.Func("ds_b1")
+    b1[x, y] = hl.undef(hl.Float(32))
+    b1[x, 0] = inp[x, 0]
+    b1[x, r.x] = (1 - alpha) * b1[x, r.x - 1] + alpha * inp[x, r.x]
+    tr = hl.Func("ds_tr")
+    tr[x, y] = b1[y, x]                     # transpose between the scans
+    b2 = hl.Func("ds_b2")
+    b2[x, y] = hl.undef(hl.Float(32))
+    b2[x, 0] = tr[x, 0]
+    b2[x, r.x] = (1 - alpha) * b2[x, r.x - 1] + alpha * tr[x, r.x]
+    got = np.asarray(b2.realize([W, H]).to_numpy())
+
+    v = img.astype(np.float64).copy()       # scan down rows (y axis)
+    for i in range(1, H):
+        v[i] = (1 - alpha) * v[i - 1] + alpha * img[i]
+    v = v.T.copy()                          # transpose
+    ref = v.copy()                          # scan down rows again
+    for i in range(1, H):
+        ref[i] = (1 - alpha) * ref[i - 1] + alpha * v[i]
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)

@@ -152,3 +152,129 @@ def test_distribute_replicates_shard_independent_inputs():
     mesh = Mesh(np.array(jax.devices()[:n]), ("shards",))
     out = hl.Pipeline(f2).realize([W, H], mesh=mesh).to_numpy()
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-6, atol=1e-6)
+
+
+def test_distribute_sharded_reduction_rowsum():
+    # f.distribute(r.y): the RDom is sliced across shards, each device
+    # reduces its input slab, partials combine with psum (SURVEY 2.6 (b))
+    import jax
+    from jax.sharding import Mesh
+
+    import halide_tpu as hl
+    n = min(4, len(jax.devices()))
+    if n < 2:
+        pytest.skip("needs >=2 devices")
+    W, H = 32, 8 * n
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 100, (H, W)).astype(np.float32)
+
+    x = hl.Var("x")
+    inp = hl.ImageParam(hl.Float(32), 2, "rs_in")
+    inp.set(img)
+    r = hl.RDom(0, H, "rr")
+    f = hl.Func("rs_out")
+    f[x] = 0.0
+    f[x] += inp[x, r.x]
+    f.distribute(r.x, "shards")
+    mesh = Mesh(np.array(jax.devices()[:n]), ("shards",))
+    out = hl.Pipeline(f).realize([W], mesh=mesh).to_numpy()
+    np.testing.assert_allclose(np.asarray(out), img.sum(axis=0), rtol=1e-6)
+
+
+def test_distribute_sharded_histogram():
+    # data-dependent scatter with a sharded reduction row-axis: each
+    # device histograms its slab, psum merges -- bit-exact vs one device
+    import jax
+    from jax.sharding import Mesh
+
+    import halide_tpu as hl
+    n = min(4, len(jax.devices()))
+    if n < 2:
+        pytest.skip("needs >=2 devices")
+    W, H, B = 32, 8 * n, 16
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, B, (H, W)).astype(np.int32)
+
+    def build():
+        b = hl.Var("b")
+        inp = hl.ImageParam(hl.Int(32), 2, "hg_in")
+        inp.set(img)
+        r = hl.RDom(0, W, 0, H, "hr")
+        h = hl.Func("hg_out")
+        h[b] = 0
+        h[hl.clamp(inp[r.x, r.y], 0, B - 1)] += 1
+        return h
+
+    ref = np.asarray(hl.Pipeline(build()).realize([B]).to_numpy())
+    h2 = build()
+    rv = h2._defs[1].rdom.dims[1]      # hr$y
+    h2.distribute(rv, "shards")
+    mesh = Mesh(np.array(jax.devices()[:n]), ("shards",))
+    out = hl.Pipeline(h2).realize([B], mesh=mesh).to_numpy()
+    np.testing.assert_array_equal(np.asarray(out), ref)
+    np.testing.assert_array_equal(
+        ref, np.bincount(img.ravel(), minlength=B))
+
+
+def test_distribute_sharded_max_reduction():
+    import jax
+    from jax.sharding import Mesh
+
+    import halide_tpu as hl
+    n = min(4, len(jax.devices()))
+    if n < 2:
+        pytest.skip("needs >=2 devices")
+    W, H = 16, 4 * n
+    rng = np.random.default_rng(13)
+    img = rng.random((H, W)).astype(np.float32)
+
+    x = hl.Var("x")
+    inp = hl.ImageParam(hl.Float(32), 2, "mx_in")
+    inp.set(img)
+    r = hl.RDom(0, H, "mr")
+    f = hl.Func("mx_out")
+    f[x] = hl.Float(32).min_value()
+    f[x] = hl.max(f[x], inp[x, r.x])
+    f.distribute(r.x, "shards")
+    mesh = Mesh(np.array(jax.devices()[:n]), ("shards",))
+    out = hl.Pipeline(f).realize([W], mesh=mesh).to_numpy()
+    np.testing.assert_allclose(np.asarray(out), img.max(axis=0), rtol=1e-6)
+
+
+def test_distribute_multi_output():
+    # two outputs sharing the distributed dim shard together
+    import jax
+    from jax.sharding import Mesh
+
+    import halide_tpu as hl
+    n = min(4, len(jax.devices()))
+    if n < 2:
+        pytest.skip("needs >=2 devices")
+    W, H = 16, 8 * n
+    rng = np.random.default_rng(14)
+    img = rng.random((H, W)).astype(np.float32)
+
+    def build():
+        x, y = hl.Var("x"), hl.Var("y")
+        inp = hl.ImageParam(hl.Float(32), 2, "mo_in")
+        inp.set(img)
+        cl = hl.repeat_edge(inp)
+        f1 = hl.Func("mo_a")
+        f2 = hl.Func("mo_b")
+        f1[x, y] = (cl[x, y - 1] + cl[x, y + 1]) * 0.5
+        f2[x, y] = cl[x, y] * 2.0
+        return f1, f2
+
+    f1r, f2r = build()
+    pr = hl.Pipeline([f1r, f2r]).realize([W, H])
+    ref1 = np.asarray(pr[0].to_numpy())
+    ref2 = np.asarray(pr[1].to_numpy())
+
+    f1, f2 = build()
+    f1.distribute(f1._args[1], "shards")
+    mesh = Mesh(np.array(jax.devices()[:n]), ("shards",))
+    out = hl.Pipeline([f1, f2]).realize([W, H], mesh=mesh)
+    np.testing.assert_allclose(np.asarray(out[0].to_numpy()), ref1,
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out[1].to_numpy()), ref2,
+                               rtol=1e-6)

@@ -122,3 +122,25 @@ def test_camera_pipe_isp_kernel_engages():
     # matrix -> tone curve -> sharpen) must lower to one Pallas kernel
     # with half-res planes staged via d=2 div-indexed windows; bit-exact
     _app_engages_and_matches("camera_pipe", out_width=512, out_height=128)
+
+
+def test_kernel_repeat_matches_jnp_repeat():
+    # the in-kernel sublane repeat lowers as a one-hot expansion matmul
+    # (Mosaic cannot lower jnp.repeat); it must be element-exact
+    import jax.numpy as jnp
+    from halide_tpu.eval_jnp import _kernel_repeat
+
+    class KCtx:
+        in_kernel = True
+
+    rng = np.random.default_rng(5)
+    for shape, npax, div in [((8, 128), 0, 2), ((3, 8, 128), 1, 8),
+                             ((2, 5, 4, 128), 2, 3), ((2, 5, 4, 128), 1, 2)]:
+        x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+        got = np.asarray(_kernel_repeat(x, div, npax, KCtx()))
+        ref = np.repeat(np.asarray(x), div, axis=npax)
+        np.testing.assert_array_equal(got, ref)
+    # wide ints take the unrolled-concat path (no f32 round-trip)
+    xi = jnp.asarray(rng.integers(0, 1 << 30, (4, 8, 128)).astype(np.int32))
+    got = np.asarray(_kernel_repeat(xi, 2, 1, KCtx()))
+    np.testing.assert_array_equal(got, np.repeat(np.asarray(xi), 2, axis=1))
