@@ -40,6 +40,7 @@ from .inline_reductions import (sum, product, maximum, minimum,     # noqa: E402
 from .boundary import (repeat_edge, constant_exterior, repeat_image,  # noqa: E402
                        mirror_image, mirror_interior)
 from . import boundary as BoundaryConditions                        # noqa: E402
+from .hooks import set_custom_print, set_error_handler              # noqa: E402
 
 __version__ = "0.1.0"
 

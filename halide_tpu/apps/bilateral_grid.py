@@ -79,10 +79,13 @@ def build(width: int = 1536, height: int = 2560, s_sigma: int = 8,
     # blurs stay on the fused-XLA path (tiny vs the slice).
     # (reference: apps/bilateral_grid/bilateral_grid_generator.cpp:86-123
     # -- the GPU schedule similarly tiles the slice with blury staged.)
-    if width % 256 == 0 and height % 64 == 0:
+    import os
+    tx, ty = (int(v) for v in os.environ.get(
+        "HALIDE_TPU_BG_TILE", "256x64").split("x"))
+    if width % tx == 0 and height % ty == 0:
         xo, yo, xin, yin = (hl.Var("xo"), hl.Var("yo"),
                             hl.Var("xin"), hl.Var("yin"))
-        output.tile(x, y, xo, yo, xin, yin, 256, 64) \
+        output.tile(x, y, xo, yo, xin, yin, tx, ty) \
               .vectorize(xin).parallel(yo)
         interpolated.compute_at(output, xo)
     else:

@@ -264,6 +264,25 @@ class Param:
     def __neg__(self):
         return -self._to_expr()
 
+    def __mod__(self, o):
+        return self._to_expr() % o
+
+    def __rmod__(self, o):
+        return o % self._to_expr()
+
+    # comparisons build Exprs, like the reference's Param<T> operators
+    def __lt__(self, o):
+        return self._to_expr() < o
+
+    def __le__(self, o):
+        return self._to_expr() <= o
+
+    def __gt__(self, o):
+        return self._to_expr() > o
+
+    def __ge__(self, o):
+        return self._to_expr() >= o
+
 
 class Realization(list):
     """Tuple-valued realize result: a list of Buffers."""

@@ -339,6 +339,16 @@ def _eval(e: Expr, ctx: Ctx):
             return v.astype(jnp.bool_)
         if v.dtype == jnp.bool_:
             v = v.astype(jnp.int32)
+        if getattr(ctx, "in_kernel", False) and hasattr(v, "dtype"):
+            # Mosaic has no direct narrow-int <-> float converts
+            # ("Unsupported cast: uint16 -> float32"); widen through i32
+            # (exact: 8/16-bit values fit i32, and i32->f32 is supported)
+            if v.dtype.kind in "iu" and v.dtype.itemsize <= 2 \
+                    and e.dtype.is_float():
+                v = v.astype(jnp.int32)
+            elif v.dtype.kind == "f" and e.dtype.is_integer() \
+                    and e.dtype.bits <= 16:
+                return v.astype(jnp.int32).astype(_np_dtype(e.dtype))
         return v.astype(_np_dtype(e.dtype))
     if isinstance(e, E.Reinterpret):
         v = eval_array(e.value, ctx)
@@ -2245,7 +2255,24 @@ def _eval_intrin(e: E.Intrin, ctx: Ctx):
     if n in ("likely", "strict_float"):
         return evaluate(e.args[0], ctx)
     if n == "require":
-        return evaluate(e.args[1], ctx)
+        # require(cond, value, args...): value passthrough + a runtime
+        # check routed through the error-handler table (reference:
+        # IROperator.h require(); halide_error_requirement_failed)
+        cond = eval_array(e.args[0], ctx)
+        val = evaluate(e.args[1], ctx)
+
+        def _req_cb(c):
+            import numpy as _np
+            from . import hooks
+            cn = _np.asarray(c)
+            if not cn.all():
+                bad = int((~cn.astype(bool)).sum()) if cn.size > 1 else 1
+                hooks.halide_error(
+                    f"Requirement Failed: ({bad} of {max(cn.size, 1)} "
+                    "lanes violate the condition)")
+
+        jax.debug.callback(_req_cb, jnp.asarray(cond))
+        return val
     if n == "lerp":
         r = _try_lerp_shift_rewrite(e, ctx)
         if r is not None:
@@ -2340,11 +2367,43 @@ def _eval_intrin(e: E.Intrin, ctx: Ctx):
         bits = jax.random.bits(key, shape, dtype=jnp.uint32)
         return bits.astype(_np_dtype(e.dtype))
     if n in ("print", "print_when"):
-        # value passthrough; host printing handled by the trace subsystem
+        # value passthrough; the message streams through the per-process
+        # print-handler table (hooks.set_custom_print -- the
+        # JITUserContext::custom_print analog) once per realization, and
+        # through the trace subsystem when tracing
         idx = 0 if n == "print" else 1
         val = evaluate(e.args[idx], ctx)
         if ctx.trace is not None:
             ctx.trace.emit_print(e, val, ctx)
+        if not getattr(ctx, "in_kernel", False):
+            strs = tuple(
+                a.value if isinstance(a, E.StringImm) else a
+                for a in e.args[idx + 1:]
+                if isinstance(a, (E.StringImm, str)))
+            vm = materialize(val, ctx)
+            if n == "print":
+                def _pr_cb(v, _s=strs):
+                    from . import hooks
+                    hooks.halide_print(
+                        " ".join([hooks.format_value(v)] + list(_s))
+                        + "\n")
+
+                jax.debug.callback(_pr_cb, vm)
+            else:
+                cm = eval_array(e.args[0], ctx)
+
+                def _pw_cb(c, v):
+                    import numpy as _np
+                    from . import hooks
+                    cn = _np.asarray(c).astype(bool)
+                    if cn.any():
+                        vn = _np.asarray(v)
+                        sel = vn[cn] if vn.shape == cn.shape \
+                            else vn.reshape(-1)
+                        hooks.halide_print(
+                            hooks.format_value(sel) + "\n")
+
+                jax.debug.callback(_pw_cb, jnp.asarray(cm), vm)
         return val
     if n == "undef":
         raise CompileError("undef() may only appear as a whole update value")

@@ -705,6 +705,12 @@ class Func:
         return self
 
     def debug_to_file(self, filename: str) -> "Func":
+        """Dump this Func's realization to `filename` each time it is
+        produced (reference: src/DebugToFile.cpp, Lower.cpp:257).
+        `.npy` writes the numpy format; anything else writes the
+        reference's .tmp debug layout (5 int32 header: four extents,
+        minor-first, then a type code -- HalideRuntime debug_to_file)."""
+        self._fschedule.debug_file = filename
         self._fschedule.tags.append(f"debug_to_file:{filename}")
         return self
 

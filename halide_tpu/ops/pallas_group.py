@@ -314,6 +314,10 @@ def try_pallas_group(f: Func, box: Box, ctx0: Ctx, graph, boxes):
     for m in members:
         if len(m._defs) != 1 or len(m._defs[0].values) != 1:
             return _reject(f"member {m.name}: multi-def/multi-value")
+        if m._fschedule.debug_file:
+            # VMEM-resident member values cannot be dumped; fall back so
+            # debug_to_file observes the standalone materialization
+            return _reject(f"member {m.name}: debug_to_file")
         mdims = {v.name for v in m._defs[0].args}
         if xdim not in mdims or (ydim is not None and ydim not in mdims):
             return _reject(f"member {m.name}: does not share tiled dims")
@@ -577,6 +581,21 @@ def try_pallas_group(f: Func, box: Box, ctx0: Ctx, graph, boxes):
         bb = fp_t.boxes.get(id(m))
         if bb is None or not bb.defined() or not bb.bounded():
             return _reject(f"member {m.name}: unbounded tile box")
+        # fold_storage legality: the per-tile live window along a folded
+        # dim must fit in the declared fold factor (reference:
+        # halide_error_fold_factor_too_small, StorageFolding.cpp:219-264)
+        for sd in m._fschedule.storage_dims:
+            mdims2 = [v.name for v in m._defs[0].args]
+            if sd.var in mdims2:
+                i_sd = mdims2.index(sd.var)
+                need = int(bb.extents()[i_sd])
+                if need > sd.fold_factor:
+                    from ..expr import CompileError
+                    raise CompileError(
+                        f"fold_storage: {m.name} requires {need} live "
+                        f"entries of {sd.var} per tile, but the fold "
+                        f"factor is {sd.fold_factor} (the reference "
+                        "fails with halide_error_fold_factor_too_small)")
         sz = 1
         for e2 in bb.extents():
             sz *= e2

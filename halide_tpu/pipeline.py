@@ -810,6 +810,7 @@ class Pipeline:
                     real = try_pallas_group(f, box, ctx0, g, bp.boxes)
                 if real is not None:
                     realizations[id(f)] = real
+                    _emit_debug_dump(f, real.arrays)
                 else:
                     for m in members:
                         eval_standalone(m)
@@ -1162,6 +1163,37 @@ def _static_expr_int(e) -> int:
     return _static_int(e, _C(0, {}, {}, {}, {}))
 
 
+def _debug_dump_cb(fname: str, arr) -> None:
+    """debug_to_file writer (reference: src/DebugToFile.cpp;
+    runtime/halide_image_io-independent .tmp layout). `.npy` gets the
+    numpy format; otherwise a 5-int32 header (four extents minor-first,
+    padded with 1s, then a type code per HalideRuntime's debug_to_file
+    table) followed by the raw data."""
+    import numpy as _np
+    a = _np.asarray(arr)
+    if fname.endswith(".npy"):
+        _np.save(fname, a)
+        return
+    codes = {"float32": 0, "float64": 1, "uint8": 2, "int8": 3,
+             "uint16": 4, "int16": 5, "uint32": 6, "int32": 7,
+             "uint64": 8, "int64": 9}
+    ext = list(reversed(a.shape)) + [1] * max(0, 4 - a.ndim)
+    hdr = _np.asarray(ext[:4] + [codes.get(a.dtype.name, 0)], _np.int32)
+    with open(fname, "wb") as fh:
+        hdr.tofile(fh)
+        a.tofile(fh)
+
+
+def _emit_debug_dump(f: Func, arrays) -> None:
+    fname = f._fschedule.debug_file
+    if not fname:
+        return
+    for i, arr in enumerate(arrays):
+        out = fname if len(arrays) == 1 else f"{fname}.{i}"
+        jax.debug.callback(
+            lambda a, _fn=out: _debug_dump_cb(_fn, a), arr)
+
+
 def _evaluate_func(f: Func, box: Box, ctx0: Ctx,
                    defer_barrier: bool = False) -> Realized:
     if f.is_extern():
@@ -1212,4 +1244,5 @@ def _evaluate_func(f: Func, box: Box, ctx0: Ctx,
     elif len(f._defs) > 1 or getattr(ctx0, "multi_read", None) is None \
             or id(f) in ctx0.multi_read:
         current = list(jax.lax.optimization_barrier(tuple(current)))
+    _emit_debug_dump(f, current)
     return Realized(current, box.mins(), f.name)

@@ -192,6 +192,9 @@ class FuncSchedule:
         self.trace_realizations = False
         self.no_profiling = False
         self.tags: List[str] = []
+        # debug_to_file(filename): dump the realization when produced
+        # (reference: src/DebugToFile.cpp, Lower.cpp:257)
+        self.debug_file: Optional[str] = None
         # multi-chip: (var_name, mesh_axis_name) -- consumed by
         # Pipeline.realize(mesh=...) / parallel.distributed_realize
         self.distributed = None

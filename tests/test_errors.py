@@ -126,3 +126,21 @@ def test_rfactor_requires_associative():
     u = hl.Var("u")
     with pytest.raises(hl.CompileError):
         f.update().rfactor(r.x, u)
+
+
+def test_fold_storage_factor_too_small():
+    # reference: halide_error_fold_factor_too_small
+    # (StorageFolding.cpp:219-264) -- a fold factor smaller than the
+    # per-tile live window must error, not silently ignore the fold
+    x, y = hl.Var("x"), hl.Var("y")
+    xo, yo, xi, yi = hl.Var("xo"), hl.Var("yo"), hl.Var("xi"), hl.Var("yi")
+    img = np.zeros((32, 64), np.float32)
+    inp = hl.Buffer(img)
+    bx, by = hl.Func("fs_bx"), hl.Func("fs_by")
+    bx[x, y] = inp[x, y] * 2.0
+    by[x, y] = bx[x, y] + bx[x, hl.clamp(y + 1, 0, 31)]
+    by.tile(x, y, xo, yo, xi, yi, 64, 8)
+    bx.compute_at(by, xo)
+    bx.fold_storage(y, 4)      # tile needs 9 live rows of bx
+    with pytest.raises(hl.CompileError, match="fold_storage"):
+        by.realize([64, 31])

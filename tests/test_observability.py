@@ -88,3 +88,78 @@ def test_profile_fused_mode():
     # cumulative times are monotone by construction of the deltas
     assert all(e["ms"] >= 0 for e in rep["funcs"])
     assert "fused" in str(rep)
+
+
+def test_debug_to_file_npy_and_tmp(tmp_path):
+    # debug_to_file dumps the realization when produced (reference:
+    # src/DebugToFile.cpp, Lower.cpp:257): .npy round-trips through
+    # numpy; other names get the 5-int32-header .tmp layout
+    import numpy as np
+    import halide_tpu as hl
+
+    x, y = hl.Var("x"), hl.Var("y")
+    f = hl.Func("dbg_f")
+    g = hl.Func("dbg_g")
+    f[x, y] = x + y * 10
+    g[x, y] = f[x, y] * 2
+    f.compute_root()
+    npy = str(tmp_path / "f.npy")
+    f.debug_to_file(npy)
+    out = g.realize([4, 3]).to_numpy()
+    ref_f = np.arange(4)[None, :] + np.arange(3)[:, None] * 10
+    np.testing.assert_array_equal(out, ref_f * 2)
+    dumped = np.load(npy)
+    np.testing.assert_array_equal(dumped, ref_f.astype(dumped.dtype))
+
+    f2 = hl.Func("dbg_f2")
+    g2 = hl.Func("dbg_g2")
+    f2[x, y] = hl.f32(x) + 100.0
+    g2[x, y] = f2[x, y] + 1.0
+    f2.compute_root()
+    tmp = str(tmp_path / "f2.tmp")
+    f2.debug_to_file(tmp)
+    g2.realize([5, 2])
+    raw = open(tmp, "rb").read()
+    hdr = np.frombuffer(raw[:20], np.int32)
+    assert list(hdr[:4]) == [5, 2, 1, 1]
+    assert hdr[4] == 0  # float32 type code
+    data = np.frombuffer(raw[20:], np.float32).reshape(2, 5)
+    np.testing.assert_array_equal(
+        data, (np.arange(5)[None, :] + 100.0).repeat(2, axis=0))
+
+
+def test_custom_print_handler():
+    # hl.print streams through the installed handler once per realization
+    # (the JITUserContext::custom_print analog, HalideRuntime.h:178-196)
+    import halide_tpu as hl
+
+    msgs = []
+    prev = hl.set_custom_print(msgs.append)
+    try:
+        x = hl.Var("x")
+        f = hl.Func("cp_f")
+        f[x] = hl.print_expr(x * 2, "doubled")
+        out = f.realize([4]).to_numpy()
+    finally:
+        hl.set_custom_print(prev)
+    np.testing.assert_array_equal(out, [0, 2, 4, 6])
+    assert msgs and "doubled" in msgs[0]
+    assert "0, 2, 4, 6" in msgs[0]
+
+
+def test_require_routes_error_handler():
+    import halide_tpu as hl
+
+    errs = []
+    prev = hl.set_error_handler(errs.append)
+    try:
+        x = hl.Var("x")
+        p = hl.Param(hl.Int(32), "rq_p")
+        p.set(5)
+        f = hl.Func("rq_f")
+        f[x] = hl.require(p > 10, x + p)
+        out = f.realize([3]).to_numpy()
+    finally:
+        hl.set_error_handler(prev)
+    np.testing.assert_array_equal(out, [5, 6, 7])
+    assert errs and "Requirement Failed" in errs[0]
