@@ -80,8 +80,10 @@ def build(width: int = 1536, height: int = 2560, s_sigma: int = 8,
     # (reference: apps/bilateral_grid/bilateral_grid_generator.cpp:86-123
     # -- the GPU schedule similarly tiles the slice with blury staged.)
     import os
+    # measured on v5e at 2560x1536: 256x64 3.10ms, 512x64 2.60, 256x128
+    # 2.34, 256x256 2.06 (bigger y tiles amortize the z-plane unroll)
     tx, ty = (int(v) for v in os.environ.get(
-        "HALIDE_TPU_BG_TILE", "256x64").split("x"))
+        "HALIDE_TPU_BG_TILE", "256x256").split("x"))
     if width % tx == 0 and height % ty == 0:
         xo, yo, xin, yin = (hl.Var("xo"), hl.Var("yo"),
                             hl.Var("xin"), hl.Var("yin"))

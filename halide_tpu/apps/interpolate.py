@@ -56,10 +56,29 @@ def build(width: int = 1536, height: int = 2560, levels: int = 10) -> App:
         alpha = 1.0 - downsampled[l][x, y, 3]
         interpolated[l][x, y, c] = (downsampled[l][x, y, c]
                                     + alpha * upsampled[l][x, y, c])
-        interpolated[l].compute_root()
+        if l > 0:
+            interpolated[l].compute_root()
 
     normalize = hl.Func("normalize")
     normalize[x, y, c] = interpolated[0][x, y, c] / interpolated[0][x, y, 3]
+
+    # TPU schedule: the full-resolution blend + normalize (the only
+    # full-res work) runs as ONE Pallas kernel per tile; interpolated[1]
+    # is staged through d=2 div-indexed VMEM windows (x lane pre-expanded
+    # on the host, y via the MXU expansion matmul), the level-0
+    # downsample tower inlines over the input window. Coarser levels stay
+    # on the fused-XLA path (they are 1/4-res and below).
+    # (reference: apps/interpolate/interpolate_generator.cpp:90-147 --
+    # the hand schedule likewise tiles the fine levels and leaves coarse
+    # ones at root.)
+    if width % 256 == 0 and height % 64 == 0:
+        xo, yo, xin, yin = (hl.Var("xo"), hl.Var("yo"),
+                            hl.Var("xin"), hl.Var("yin"))
+        normalize.tile(x, y, xo, yo, xin, yin, 256, 64) \
+                 .vectorize(xin).parallel(yo)
+        interpolated[0].compute_at(normalize, xo)
+    else:
+        interpolated[0].compute_root()
 
     def make_inputs(seed=0):
         rng = np.random.default_rng(seed)

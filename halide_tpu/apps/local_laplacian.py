@@ -101,7 +101,7 @@ def build(width: int = 1536, height: int = 2560, pyramid_levels: int = 8,
     for j in range(J - 2, -1, -1):
         outGPyramid[j][x, y] = (_upsample(outGPyramid[j + 1], (x, y))[x, y]
                                 + outLPyramid[j][x, y])
-    for f in outGPyramid:
+    for f in outGPyramid[1:]:
         f.compute_root()
 
     color = hl.Func("color")
@@ -111,6 +111,26 @@ def build(width: int = 1536, height: int = 2560, pyramid_levels: int = 8,
 
     output = hl.Func("ll_out")
     output[x, y, c] = hl.u16(hl.clamp(color[x, y, c], 0.0, 65535.0))
+
+    # TPU schedule: ALL the full-resolution work -- the 8-plane Laplacian
+    # level 0 (lPyramid[0]), its fractional-slice collapse (outLPyramid
+    # [0], the in-kernel plane unroll), the final blend with the upsampled
+    # half-res result, and the color output -- runs as ONE Pallas kernel
+    # per tile. Half-res pyramid levels stay on the fused-XLA path.
+    # (reference: apps/local_laplacian/local_laplacian_generator.cpp:
+    # 105-139 -- the GPU schedule similarly computes lPyramid levels at
+    # tiles of the output.)
+    import os
+    if width % 256 == 0 and height % 64 == 0 and \
+            not os.environ.get("HALIDE_TPU_LL_NOKERNEL"):
+        xo, yo, xin, yin = (hl.Var("xo"), hl.Var("yo"),
+                            hl.Var("xin"), hl.Var("yin"))
+        output.tile(x, y, xo, yo, xin, yin, 256, 64) \
+              .vectorize(xin).parallel(yo)
+        outGPyramid[0].compute_at(output, xo)
+        lPyramid[0].compute_at(output, xo)
+    else:
+        outGPyramid[0].compute_root()
 
     def make_inputs(seed=0):
         rng = np.random.default_rng(seed)

@@ -31,6 +31,27 @@ def build(width: int = 1536, height: int = 2560, stencils: int = 32) -> App:
     output = hl.Func("chain_out")
     output[x, y] = stages[-1][x, y]
 
+    # TPU schedule: the chain runs as a handful of Pallas kernels, each
+    # covering GROUP consecutive stencils over full-width row bands with
+    # the intermediate stages VMEM-resident (halo recompute instead of
+    # 32 HBM round-trips). (reference: apps/stencil_chain/
+    # stencil_chain_generator.cpp:53-106 -- the hand schedule likewise
+    # staggers compute_at tiles every other stencil.)
+    group = 8
+    if height % 128 == 0 and width >= 128:
+        anchors = [s for s in range(stencils)
+                   if (s + 1) % group == 0 or s == stencils - 1]
+        prev_a = -1
+        for ai, s_idx in enumerate(anchors):
+            f = stages[1 + s_idx]
+            xo, yo, xi2, yi2 = (hl.Var(f"xo{ai}"), hl.Var(f"yo{ai}"),
+                                hl.Var(f"xi{ai}"), hl.Var(f"yi{ai}"))
+            f.tile(x, y, xo, yo, xi2, yi2, width, 128) \
+             .vectorize(xi2).parallel(yo)
+            for m in range(prev_a + 1, s_idx):
+                stages[1 + m].compute_at(f, xo)
+            prev_a = s_idx
+
     def make_inputs(seed=0):
         rng = np.random.default_rng(seed)
         return {"input": rng.integers(0, 1 << 16, (height, width), np.uint16)}

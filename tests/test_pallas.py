@@ -114,7 +114,7 @@ def _app_engages_and_matches(name, **kw):
 def test_bilateral_grid_slice_kernel_engages():
     # the trilinear slice tile schedule must reach the Pallas path (z via
     # the in-kernel fractional-slice plane unroll, x/y via div windows)
-    _app_engages_and_matches("bilateral_grid", width=512, height=128)
+    _app_engages_and_matches("bilateral_grid", width=512, height=256)
 
 
 def test_camera_pipe_isp_kernel_engages():
@@ -144,3 +144,17 @@ def test_kernel_repeat_matches_jnp_repeat():
     xi = jnp.asarray(rng.integers(0, 1 << 30, (4, 8, 128)).astype(np.int32))
     got = np.asarray(_kernel_repeat(xi, 2, 1, KCtx()))
     np.testing.assert_array_equal(got, np.repeat(np.asarray(xi), 2, axis=1))
+
+
+def test_interpolate_blend_kernel_engages():
+    # the full-res pyramid blend + normalize lowers to one Pallas kernel
+    # (interpolated[1] staged through d=2 div windows)
+    _app_engages_and_matches("interpolate", width=512, height=128,
+                             levels=6)
+
+
+def test_local_laplacian_collapse_kernel_engages():
+    # the 8-plane level-0 Laplacian + fractional-slice collapse + final
+    # blend runs as one kernel per tile (lPyramid[0] as a VMEM member)
+    _app_engages_and_matches("local_laplacian", width=512, height=128,
+                             pyramid_levels=5)
