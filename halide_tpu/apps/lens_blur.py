@@ -172,12 +172,30 @@ def build(width: int = 192, height: int = 320, slices: int = 32,
         bokeh_w[x, y, (su_c + max_blur) * K + (sv_c + max_blur)] += \
             sample_weight[x, y, s.x]
         bokeh_w.compute_root()
-        ruv = hl.RDom(-max_blur, K, -max_blur, K, "ruv")
-        output[x, y, c] += \
-            bokeh_w[x, y, (ruv.x + max_blur) * K + (ruv.y + max_blur)] \
-            * input_with_alpha[
-                hl.clamp(x + ruv.x, -max_blur, width - 1 + max_blur),
-                hl.clamp(y + ruv.y, -max_blur, height - 1 + max_blur), c]
+        # statically-unrolled contraction (balanced add tree): every term
+        # reads bokeh_w at a CONSTANT plane and the input at a CONSTANT
+        # shift, so the whole sum lowers to one fused elementwise XLA
+        # pass of static slices -- an RDom form binds the plane index per
+        # reduction point and degraded to per-point dynamic indexing
+        # (measured 7.5 s/frame at 640x480 on v5e)
+        from functools import reduce
+        terms = []
+        for du in range(-max_blur, max_blur + 1):
+            for dv in range(-max_blur, max_blur + 1):
+                kk = (du + max_blur) * K + (dv + max_blur)
+                terms.append(
+                    bokeh_w[x, y, kk] * input_with_alpha[
+                        hl.clamp(x + du, -max_blur, width - 1 + max_blur),
+                        hl.clamp(y + dv, -max_blur,
+                                 height - 1 + max_blur), c])
+
+        def _tree(ts):
+            while len(ts) > 1:
+                ts = [ts[i] + ts[i + 1] if i + 1 < len(ts) else ts[i]
+                      for i in range(0, len(ts), 2)]
+            return ts[0]
+
+        output[x, y, c] += _tree(terms)
     else:
         output[x, y, c] += sample_weight[x, y, s.x] \
             * input_with_alpha[

@@ -677,7 +677,9 @@ def try_pallas_group(f: Func, box: Box, ctx0: Ctx, graph, boxes):
         if total2 > _VMEM_BUDGET:
             pipeline_capable = False
     # interpret mode has no DMA engine to overlap; run single-buffered
-    pipelined = pipeline_capable and not interpret
+    # (HALIDE_TPU_NO_PIPELINE: A/B the double-buffer on hardware)
+    pipelined = pipeline_capable and not interpret \
+        and not _os.environ.get("HALIDE_TPU_NO_PIPELINE")
     n_buf = 2 if pipelined else 1
     global _last_plan
     _last_plan = {"grid": grid, "semantics": tuple(semantics),

@@ -882,11 +882,17 @@ def _dense_scatter_applies(func, d, current, base_ctx, rdom_axes, ops):
     grid = 1
     for s in full_shape(inner, grid_axes):
         grid *= s
-    # mirror _dense_small_scatter's footprint: the factored MXU path only
-    # touches grid * 2*sqrt(K), so larger grids stay eligible
-    fact = (all(op == "add" for op, _ in ops)
-            and k_dd >= onehot_mxu.MIN_FACTOR_K
-            and cur0.dtype.kind == "f")
+    # mirror _dense_small_scatter's path choice and footprint
+    red_elems = 1
+    for ax in rdom_axes:
+        red_elems *= max(1, ax.extent)
+    kept = max(1, grid // max(red_elems, 1))
+    all_add = all(op == "add" for op, _ in ops)
+    if all_add and red_elems <= 64 and kept > 4096:
+        # unrolled-reduction path: one (kept, K) accumulator
+        return kept * k_dd <= (1 << 31)
+    fact = (all_add and k_dd >= onehot_mxu.MIN_FACTOR_K
+            and kept <= 4096 and cur0.dtype.kind == "f")
     eff_k = 2 * int(math.isqrt(k_dd - 1) + 1) if fact else k_dd
     return eff_k * grid <= (1 << 31)
 
@@ -927,8 +933,50 @@ def _dense_small_scatter(cur, op, garr, np_idx, vtype, identity, inner,
         oob = oob | (ia < 0) | (ia >= cur.shape[a])
     lin = jnp.where(oob, K, lin)          # out-of-bounds writes drop
     red_np = tuple(inner.ndim - 1 - ax.rpos for ax in rdom_axes)
+    import os as _os
     contrib = None
-    if op in ("add", "sub") and K >= onehot_mxu.MIN_FACTOR_K:
+    red_elems = 1
+    for a in red_np:
+        red_elems *= garr.shape[a] if a < garr.ndim else 1
+    kept_elems = max(1, garr.size // max(red_elems, 1))
+    if op in ("add", "sub") and red_elems <= 64 and kept_elems > 4096:
+        # batch-heavy histogram with a SMALL reduction (lens_blur's
+        # per-pixel 32-sample offset histogram): unroll the reduction in
+        # python with the K axis on lanes -- one fused accumulation pass.
+        # Both the factored-MXU path (307K batched tiny matmuls) and the
+        # all-at-once compare-reduce degenerate here (4.3 s / timeout
+        # measured at (480,640,32)->361 on v5e); this form runs in the
+        # compute-bound few-ms regime.
+        ks = jnp.arange(K, dtype=jnp.int32)
+        if jnp.issubdtype(cur.dtype, jnp.floating):
+            acc_t0 = jnp.float32
+        else:
+            acc_t0 = jnp.int32
+        lin_b = jnp.broadcast_to(lin, jnp.broadcast_shapes(
+            jnp.shape(lin), jnp.shape(garr)))
+        g_b = jnp.broadcast_to(garr, lin_b.shape)
+        import itertools
+        acc = None
+        for pos in itertools.product(
+                *[range(lin_b.shape[a]) for a in red_np]):
+            sl = [slice(None)] * lin_b.ndim
+            for a, i in zip(red_np, pos):
+                sl[a] = i
+            lin_s = lin_b[tuple(sl)]
+            g_s = g_b[tuple(sl)]
+            term = jnp.where(lin_s[..., None] == ks,
+                             g_s[..., None].astype(acc_t0),
+                             jnp.zeros((), acc_t0))
+            acc = term if acc is None else acc + term
+        if op == "sub":
+            acc = -acc
+            op = "add"
+        # integer-slicing the reduced axes already removed them, matching
+        # the jnp.sum(..., axis=red_np) layout of the paths below
+        contrib = acc
+    if contrib is None and op in ("add", "sub") \
+            and K >= onehot_mxu.MIN_FACTOR_K and kept_elems <= 4096 \
+            and not _os.environ.get("HT_NO_FACTORED_SCATTER"):
         # factored MXU histogram: two ~sqrt(K) one-hots + a batched matmul
         # replace the (grid, K) compare-reduce (see ops/onehot_mxu.py)
         if jnp.issubdtype(cur.dtype, jnp.floating):
