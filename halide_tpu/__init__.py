@@ -22,6 +22,11 @@ import jax as _jax
 # for dtype-annotated code paths.
 _jax.config.update("jax_enable_x64", True)
 
+# deep pyramid towers (local_laplacian at 8 levels) recurse past python's
+# default 1000 frames during expr walks/eval; compilers conventionally
+# raise the limit
+_sys.setrecursionlimit(max(_sys.getrecursionlimit(), 20000))
+
 from .htypes import (Type, Int, UInt, Float, BFloat, Bool, Handle)  # noqa: E402
 from .expr import (Expr, CompileError, HalideError)                 # noqa: E402
 from . import expr as _expr_mod                                     # noqa: E402

@@ -93,6 +93,18 @@ def build(width: int = 1536, height: int = 2560) -> App:
     output[x, y, c] = hl.mux(c, norm + [hl.u8(v[3])])
     output.bound(c, 0, 4)
 
+    # TPU schedule: the whole blend interpreter runs as ONE Pallas kernel
+    # per tile -- `blended` is a tuple-valued VMEM member whose 5-step
+    # masked update chain evaluates in-kernel (apply_update with the
+    # kernel ctx), erasing the per-step HBM materializations.
+    # (reference: apps/compositing/compositing_generator.cpp:155-172)
+    if width % 256 == 0 and height % 128 == 0:
+        xo, yo, xi2, yi2 = (hl.Var("xo"), hl.Var("yo"),
+                            hl.Var("xi2"), hl.Var("yi2"))
+        output.tile(x, y, xo, yo, xi2, yi2, 256, 128) \
+              .vectorize(xi2).parallel(yo)
+        blended.compute_at(output, xo)
+
     def make_inputs(seed=0):
         rng = np.random.default_rng(seed)
         data = {f"layer_{i}": rng.integers(

@@ -487,6 +487,25 @@ def _const_int_divisor(b: Expr):
     return None
 
 
+def _floor_div_arr(am, bm, t: Type):
+    """Exact floor division by a runtime integer array inside a kernel
+    (Mosaic has no vector integer divide): f32-reciprocal estimate plus
+    TWO fixup rounds -- the f32 quotient of |a| < 2^24 by any b is within
+    +-2 of exact, and each round moves q one step toward floor(a/b)."""
+    x = jnp.asarray(am).astype(jnp.int32)
+    b = jnp.asarray(bm).astype(jnp.int32)
+    q = jnp.floor(x.astype(jnp.float32) / b.astype(jnp.float32)) \
+        .astype(jnp.int32)
+    for _ in range(2):
+        r = x - q * b
+        # floor semantics: r must land in [0, |b|) with the sign of b
+        q = q + jnp.where((b > 0) & (r >= b), 1, 0) \
+            - jnp.where((b > 0) & (r < 0), 1, 0)
+        q = q + jnp.where((b < 0) & (r <= b), 1, 0) \
+            - jnp.where((b < 0) & (r > 0), 1, 0)
+    return q.astype(_np_dtype(t))
+
+
 def _floor_div_const(am, c: int, t: Type):
     """Exact floor division of a <=16-bit integer array by a positive
     constant via f32 reciprocal + fixup — Mosaic has no native integer
@@ -536,6 +555,9 @@ def _eval_binary(e: E.Binary, ctx: Ctx):
             return _floor_div_const(am, c, e.dtype)
         # reference int semantics: floor division, x/0 == 0
         safe = jnp.where(bm == 0, jnp.ones_like(bm), bm)
+        if ctx.in_kernel:
+            return jnp.where(bm == 0, jnp.zeros_like(am),
+                             _floor_div_arr(am, safe, e.dtype))
         return jnp.where(bm == 0, jnp.zeros_like(am),
                          jnp.floor_divide(am, safe))
     if op == "mod":
@@ -546,6 +568,13 @@ def _eval_binary(e: E.Binary, ctx: Ctx):
             q = _floor_div_const(am, c, e.dtype)
             return (am - q * jnp.asarray(c, am.dtype)).astype(am.dtype)
         safe = jnp.where(bm == 0, jnp.ones_like(bm), bm)
+        if ctx.in_kernel:
+            q2 = _floor_div_arr(am, safe, e.dtype)
+            r2 = (jnp.asarray(am).astype(jnp.int32)
+                  - jnp.asarray(q2).astype(jnp.int32)
+                  * jnp.asarray(safe).astype(jnp.int32))
+            return jnp.where(bm == 0, jnp.zeros_like(am),
+                             r2.astype(_np_dtype(e.dtype)))
         return jnp.where(bm == 0, jnp.zeros_like(am), jnp.mod(am, safe))
     if op == "min":
         return jnp.minimum(am, bm)

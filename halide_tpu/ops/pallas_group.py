@@ -311,13 +311,27 @@ def try_pallas_group(f: Func, box: Box, ctx0: Ctx, graph, boxes):
         return _reject("no tile() on consumer")
     xdim, tx, ydim, ty = tile
     members = group_members(f, graph)
+    from ..updates import find_self_calls, _aligned_self
     for m in members:
-        if len(m._defs) != 1 or len(m._defs[0].values) != 1:
-            return _reject(f"member {m.name}: multi-def/multi-value")
         if m._fschedule.debug_file:
             # VMEM-resident member values cannot be dumped; fall back so
             # debug_to_file observes the standalone materialization
             return _reject(f"member {m.name}: debug_to_file")
+        # update definitions evaluate IN-KERNEL via apply_update when the
+        # write and every self-read stay aligned with the pure dims (the
+        # blend/accumulate pattern; scans and shifted self-reads fall
+        # back) -- reference: build_provide_loop_nest handles every stage
+        # type inside the consumer loop, src/ScheduleFunctions.cpp:492
+        for d in m._defs[1:]:
+            ok = all(isinstance(a, E.Variable) and a.name == v.name
+                     for a, v in zip(d.args, m._defs[0].args))
+            if not ok:
+                return _reject(f"member {m.name}: non-aligned update write")
+            for v in d.values:
+                for c2 in find_self_calls(v, m):
+                    if not _aligned_self(c2, d.args):
+                        return _reject(
+                            f"member {m.name}: shifted self-read update")
         mdims = {v.name for v in m._defs[0].args}
         if xdim not in mdims or (ydim is not None and ydim not in mdims):
             return _reject(f"member {m.name}: does not share tiled dims")
@@ -350,14 +364,15 @@ def try_pallas_group(f: Func, box: Box, ctx0: Ctx, graph, boxes):
     for tid2, real2 in ctx0.realizations.items():
         if tid2 not in member_ids:
             ext_boxes[tid2] = (real2.mins, real2.arrays[0].shape)
+    def _strip(v):
+        return _strip_boundary_clamps(_inline_expand(v), ext_boxes, engine)
+
     try:
-        svals = {id(f): [_strip_boundary_clamps(_inline_expand(v),
-                                                ext_boxes, engine)
-                         for v in f._defs[0].values]}
+        # svals[fid] = per-DEF list of stripped value lists
+        svals = {id(f): [[_strip(v) for v in f._defs[0].values]]}
         for m in members:
-            svals[id(m)] = [_strip_boundary_clamps(_inline_expand(v),
-                                                   ext_boxes, engine)
-                            for v in m._defs[0].values]
+            svals[id(m)] = [[_strip(v) for v in d.values]
+                            for d in m._defs]
     except Exception:
         return _reject("clamp-strip preprocessing failed")
 
@@ -368,18 +383,21 @@ def try_pallas_group(f: Func, box: Box, ctx0: Ctx, graph, boxes):
             nonlocal n_nodes
             n_nodes += 1
 
-        for vs2 in svals.values():
-            for v2 in vs2:
-                walk(v2, _count)
+        for dvs in svals.values():
+            for vs2 in dvs:
+                for v2 in vs2:
+                    walk(v2, _count)
         if n_nodes > _KERNEL_NODE_BUDGET:
             return _reject(f"kernel too complex: {n_nodes} expr nodes "
                            f"> {_KERNEL_NODE_BUDGET}")
 
     def run_footprints(scope):
         """Footprints of every non-member stage + member boxes, given the
-        consumer scope; members processed consumers-first."""
+        consumer scope; members processed consumers-first. Update defs
+        contribute their reads over the member box extended with their
+        reduction domains (+ predicates)."""
         fpx = _Footprints(engine)
-        for v in svals[id(f)]:
+        for v in svals[id(f)][0]:
             fpx.visit(v, scope, member_ids)
         for mm in reversed(members):
             bb = fpx.boxes.get(id(mm))
@@ -387,8 +405,19 @@ def try_pallas_group(f: Func, box: Box, ctx0: Ctx, graph, boxes):
                 return None
             sc = {v.name: bb.dims[i]
                   for i, v in enumerate(mm._defs[0].args)}
-            for v in svals[id(mm)]:
-                fpx.visit(v, sc, member_ids)
+            for di, d in enumerate(mm._defs):
+                sc_d = sc
+                if d.rdom is not None:
+                    sc_d = dict(sc)
+                    for rv in d.rdom.dims:
+                        mn2 = engine.bounds(rv.rmin, sc)
+                        ex2 = engine.bounds(rv.rextent, sc)
+                        sc_d[rv.name] = Interval(mn2.lo,
+                                                 mn2.hi + ex2.hi - 1)
+                for v in svals[id(mm)][di]:
+                    fpx.visit(v, sc_d, member_ids)
+                for p2 in d.predicates:
+                    fpx.visit(p2, sc_d, member_ids)
         return fpx
 
     # global footprints (whole padded output) -> external input coverage
@@ -599,8 +628,8 @@ def try_pallas_group(f: Func, box: Box, ctx0: Ctx, graph, boxes):
         sz = 1
         for e2 in bb.extents():
             sz *= e2
-        member_bytes += sz * np.dtype(
-            m._defs[0].values[0].dtype.to_np()).itemsize
+        for v2 in m._defs[0].values:
+            member_bytes += sz * np.dtype(v2.dtype.to_np()).itemsize
     window_bytes = 0
     for (_t, _g, _wm, wext, a2, _p) in ext_arrays:
         sz = 1
@@ -822,11 +851,32 @@ def try_pallas_group(f: Func, box: Box, ctx0: Ctx, graph, boxes):
                     abs_mins[i2] = SymOff("tile_y0", rel_mins[i2]) \
                         if gy > 1 else mins[yi_] + rel_mins[i2]
             cctx = make_ctx(m, abs_mins, rel_ext)
-            val = eval_array(svals[id(m)][0], cctx)
-            val = jnp.broadcast_to(
-                val, full_shape(cctx, list(cctx.axes.values())))
-            val = val.astype(m._defs[0].values[0].dtype.to_np())
-            realz[id(m)] = Realized((val,), tuple(abs_mins), m.name)
+            mshape = full_shape(cctx, list(cctx.axes.values()))
+            current = []
+            for vi, sv in enumerate(svals[id(m)][0]):
+                vt = m._defs[0].values[vi]
+                if isinstance(vt, E.Intrin) and vt.name == "undef":
+                    current.append(jnp.zeros(mshape, vt.dtype.to_np()))
+                    continue
+                val = eval_array(sv, cctx)
+                val = jnp.broadcast_to(val, mshape)
+                current.append(val.astype(vt.dtype.to_np()))
+            if len(m._defs) > 1:
+                # update stages evaluate in-kernel over the VMEM-resident
+                # member tile (apply_update with the kernel ctx; stripped
+                # value exprs keep window reads static). realz temporarily
+                # carries the pre-update state for the self-reads.
+                import copy as _copy
+                from ..updates import apply_update
+                for di, d in enumerate(m._defs[1:], start=1):
+                    realz[id(m)] = Realized(tuple(current),
+                                            tuple(abs_mins), m.name)
+                    d2 = _copy.copy(d)
+                    d2.values = tuple(svals[id(m)][di])
+                    current = list(apply_update(
+                        m, d2, current, make_ctx(m, abs_mins, rel_ext)))
+            realz[id(m)] = Realized(tuple(current), tuple(abs_mins),
+                                    m.name)
 
         f_mins = list(mins)
         f_mins[xi] = SymOff("tile_x0", 0) if gx > 1 else mins[xi]
@@ -837,7 +887,7 @@ def try_pallas_group(f: Func, box: Box, ctx0: Ctx, graph, boxes):
         if yi_ is not None:
             f_ext[yi_] = ty
         cctx = make_ctx(f, f_mins, f_ext)
-        val = eval_array(svals[id(f)][0], cctx)
+        val = eval_array(svals[id(f)][0][0], cctx)
         val = jnp.broadcast_to(
             val, full_shape(cctx, list(cctx.axes.values())))
         out_ref[...] = val.astype(out_dtype)
@@ -860,6 +910,9 @@ def try_pallas_group(f: Func, box: Box, ctx0: Ctx, graph, boxes):
     except PallasUnsupported as ex:
         return _reject(f"kernel trace: {ex}")
     except Exception as ex:
+        if _os.environ.get("HT_DEBUG_KERNEL"):
+            import traceback
+            traceback.print_exc()
         return _reject(f"kernel build: {type(ex).__name__}: {ex}")
     idx = tuple(slice(0, extents[i]) for i in reversed(range(n)))
     return Realized((result[idx],), mins, f.name)

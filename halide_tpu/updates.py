@@ -1149,10 +1149,16 @@ def _try_outer_loop(func, d, current, base_ctx: Ctx, rdom_axes):
     for k, rax in [(len(rdom_axes) - 1, rdom_axes[-1])]:
         if rax.extent > 64:
             continue
-        # scope for bounds: pure vars over box, other rvars over ranges
+        # scope for bounds: pure vars over box, other rvars over ranges.
+        # Inside a Pallas kernel the axis mins are symbolic tile origins
+        # (SymOff); disjointness is shift-invariant, so bound everything
+        # in the tile-relative frame instead
+        rel = any(not isinstance(a.min, int)
+                  for a in base_ctx.axes.values())
         scope = {}
         for nm, a in base_ctx.axes.items():
-            scope[nm] = Interval(a.min, a.min + a.extent - 1)
+            lo = 0 if rel else a.min
+            scope[nm] = Interval(lo, lo + a.extent - 1)
         for j, a2 in enumerate(rdom_axes):
             if j != k:
                 scope[a2.name] = Interval(a2.min, a2.min + a2.extent - 1)
@@ -1202,7 +1208,9 @@ def _try_outer_loop(func, d, current, base_ctx: Ctx, rdom_axes):
             d2.schedule = d.schedule
             ctx2 = Ctx(base_ctx.ndim, base_ctx.axes, base_ctx.bindings,
                        dict(base_ctx.realizations), base_ctx.params,
-                       trace=base_ctx.trace)
+                       trace=base_ctx.trace, sym_vals=base_ctx.sym_vals,
+                       in_kernel=base_ctx.in_kernel)
+            ctx2.shared = base_ctx.shared
             ctx2.realizations[id(func)] = Realized(
                 cur, [base_ctx.axes[v.name].min for v in init_args],
                 func.name)

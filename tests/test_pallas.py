@@ -158,3 +158,9 @@ def test_local_laplacian_collapse_kernel_engages():
     # blend runs as one kernel per tile (lPyramid[0] as a VMEM member)
     _app_engages_and_matches("local_laplacian", width=512, height=128,
                              pyramid_levels=5)
+
+
+def test_compositing_blend_kernel_engages():
+    # tuple-valued member with a masked 5-step update chain evaluated
+    # IN-KERNEL (apply_update under the kernel ctx); bit-exact u8
+    _app_engages_and_matches("compositing", width=512, height=128)
