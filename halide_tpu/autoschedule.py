@@ -349,20 +349,8 @@ def _apply(pipeline, an: _Analysis, mat: Set[int], params) -> dict:
             continue
         x, y = out._args[0], out._args[1]
         itemsize = out.output_type(0).to_np().itemsize
-        tx, ty = 256, 128
-        if ext is not None:
-            while tx > ext[0] and tx > 128:
-                tx //= 2
-            while ty > ext[1] and ty > 8:
-                ty //= 2
-        while tx * ty * itemsize * 6 > _VMEM_BUDGET and ty > 8:
-            ty //= 2
-        xo, yo, xi, yi = (Var(f"{v}_as") for v in ("xo", "yo", "xi", "yi"))
-        out.tile(x, y, xo, yo, xi, yi, tx, ty)
-        out.vectorize(xi)
-        out.parallel(yo)
-        src.append(f"{out.name}.tile({x.name}, {y.name}, xo, yo, xi, yi, "
-                   f"{tx}, {ty}).vectorize(xi).parallel(yo)")
+        # candidate producers stageable into the consumer kernel
+        cand = []
         for pid in list(an.reads.get(id(out), {})):
             p = an.by_id.get(pid)
             if p is None or pid not in an.free:
@@ -376,8 +364,28 @@ def _apply(pipeline, an: _Analysis, mat: Set[int], params) -> dict:
             _nr, coeffs = an.reads[id(out)][pid]
             if any(c2 > 1 for c2 in coeffs):
                 continue
+            cand.append(p)
+        if not cand:
+            continue
+        # full-width row bands -- the hand-validated v5e shape (blur:
+        # 0.081ms fused-XLA -> 0.048ms as a full-width-band kernel; a
+        # square 256x128 auto tile measured SLOWER than fused XLA on
+        # harris). Band height from the VMEM budget over the group's
+        # resident members.
+        tx = int(ext[0]) if ext is not None else 2048
+        ty = 128
+        resident = max(2, len(cand) + 2)
+        while tx * ty * itemsize * resident > _VMEM_BUDGET and ty > 8:
+            ty //= 2
+        xo, yo, xi, yi = (Var(f"{v}_as") for v in ("xo", "yo", "xi", "yi"))
+        out.tile(x, y, xo, yo, xi, yi, tx, ty)
+        out.vectorize(xi)
+        out.parallel(yo)
+        src.append(f"{out.name}.tile({x.name}, {y.name}, xo, yo, xi, yi, "
+                   f"{tx}, {ty}).vectorize(xi).parallel(yo)")
+        for p in cand:
             p.compute_at(out, xo)
-            staged.add(pid)
+            staged.add(id(p))
             src.append(f"{p.name}.compute_at({out.name}, xo)")
 
     for fid in sorted((mat & set(an.free)) - staged,

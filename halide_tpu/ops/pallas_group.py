@@ -45,6 +45,12 @@ import os as _os
 # (double-buffer factors). Override with HALIDE_TPU_VMEM_BUDGET.
 _VMEM_BUDGET = int(_os.environ.get("HALIDE_TPU_VMEM_BUDGET",
                                    16 * 1024 * 1024))
+# the XLA scoped-vmem default is only 16 MiB and Mosaic's expression
+# temporaries (e.g. i32-promoted u16 arithmetic) can double the planned
+# working set; kernels request this higher cap (measured: stencil_chain's
+# 8-stage group needed 32.3M against the 16M default)
+_VMEM_LIMIT = int(_os.environ.get("HALIDE_TPU_VMEM_LIMIT",
+                                  96 * 1024 * 1024))
 # Mosaic compile time grows superlinearly with unrolled kernel size; very
 # large groups hang the backend compiler (uncatchable), so gate on the
 # total expression node count. Override with HALIDE_TPU_KERNEL_NODES.
@@ -903,7 +909,8 @@ def try_pallas_group(f: Func, box: Box, ctx0: Ctx, graph, boxes):
             out_shape=jax.ShapeDtypeStruct(out_shape_np, out_dtype),
             scratch_shapes=scratch_shapes,
             compiler_params=None if interpret else pltpu.CompilerParams(
-                dimension_semantics=tuple(semantics)),
+                dimension_semantics=tuple(semantics),
+                vmem_limit_bytes=_VMEM_LIMIT),
             interpret=interpret,
         )
         result = call(*[a for (_, _, _, _, a, _) in ext_arrays])

@@ -33,14 +33,14 @@ class ForType(enum.Enum):
 
 class TailStrategy(enum.Enum):
     """(reference: src/Schedule.h:35-139). What the TPU lowering ACTUALLY
-    does today: every strategy lowers as RoundUp (grid padded to a tile
-    multiple, inputs edge-replicated, output host-cropped), which is
-    value-identical to the reference for pure consumers because the padded
-    region never escapes the crop. GuardWithIf additionally masks edge-tile
-    contributions inside kernels that accumulate (in-kernel RDom updates),
-    where padding WOULD change results. ShiftInwards/Predicate* are accepted
-    and resolve to the RoundUp lowering (semantics-preserving here; they
-    differ from RoundUp only in over-compute, not values)."""
+    does: every strategy lowers as RoundUp -- grid padded to a tile
+    multiple, inputs edge-replicated, output host-cropped. This is
+    value-identical to the reference for everything the kernel path
+    accepts (pure consumers, and per-tile member updates whose padded
+    region never escapes the crop), so GuardWithIf / ShiftInwards /
+    Predicate* are accepted for schedule portability and resolve to the
+    same lowering; they differ from RoundUp only in over-compute here,
+    never in values. No strategy-specific masking is generated."""
     Auto = "auto"
     RoundUp = "round_up"
     GuardWithIf = "guard_with_if"
