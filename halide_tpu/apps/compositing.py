@@ -14,10 +14,15 @@ NUM_MODES = 5
 
 
 def _scale(a, b):
-    # fixed-point multiply by a u8 alpha (reference: scale() int path)
+    # fixed-point multiply by a u8 alpha (reference: scale() int path).
+    # The rounding shifts stay in u32 -- values fit (a <= 65025, c <=
+    # 16.6M < 2^31; the numpy golden uses the same u32 arithmetic), and
+    # rounding_shift_right's u64 widening would keep the blend out of
+    # Mosaic kernels (no 64-bit vectors on TPU)
     c = hl.widening_mul(a, hl.cast(a.dtype, b))
-    c = c + hl.rounding_shift_right(c, 8)
-    c = hl.rounding_shift_right(c, 8)
+    half = hl.cast(c.dtype, 1 << 7)
+    c = c + ((c + half) >> 8)
+    c = (c + half) >> 8
     return hl.cast(a.dtype, c)
 
 

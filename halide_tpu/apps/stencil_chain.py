@@ -31,14 +31,17 @@ def build(width: int = 1536, height: int = 2560, stencils: int = 32) -> App:
     output = hl.Func("chain_out")
     output[x, y] = stages[-1][x, y]
 
-    # TPU schedule: the chain runs as a handful of Pallas kernels, each
+    # Kernel-path schedule (OPT-IN): a handful of Pallas kernels, each
     # covering GROUP consecutive stencils over full-width row bands with
-    # the intermediate stages VMEM-resident (halo recompute instead of
-    # 32 HBM round-trips). (reference: apps/stencil_chain/
-    # stencil_chain_generator.cpp:53-106 -- the hand schedule likewise
-    # staggers compute_at tiles every other stencil.)
+    # the intermediate stages VMEM-resident. Measured on v5e at canonical
+    # size it LOSES to the fused-XLA path (12.6 ms vs 6.1 ms -- the
+    # i32-promoted u16 arithmetic in-kernel costs more than the saved
+    # HBM round-trips), so the default stays XLA. (reference:
+    # apps/stencil_chain/stencil_chain_generator.cpp:53-106.)
+    import os
     group = 8
-    if height % 128 == 0 and width >= 128:
+    if os.environ.get("HALIDE_TPU_SC_KERNEL") \
+            and height % 128 == 0 and width >= 128:
         anchors = [s for s in range(stencils)
                    if (s + 1) % group == 0 or s == stencils - 1]
         prev_a = -1

@@ -73,6 +73,19 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
+def _kcast(val, np_dtype):
+    """Kernel-safe astype: direct float<->narrow-int converts send jax's
+    Mosaic lowering (_convert_helper) into infinite recursion; widen
+    through i32 (exact for 8/16-bit ranges)."""
+    dst = np.dtype(np_dtype)
+    src = val.dtype
+    if src.kind == "f" and dst.kind in "iu" and dst.itemsize <= 2:
+        return val.astype(jnp.int32).astype(dst)
+    if src.kind in "iu" and src.itemsize <= 2 and dst.kind == "f":
+        return val.astype(jnp.int32).astype(dst)
+    return val.astype(dst)
+
+
 _REPEAT_OK: Optional[bool] = None
 
 
@@ -384,15 +397,23 @@ def try_pallas_group(f: Func, box: Box, ctx0: Ctx, graph, boxes):
 
     if not interpret:
         n_nodes = 0
+        has_64 = [False]
 
         def _count(_e):
             nonlocal n_nodes
             n_nodes += 1
+            dt = getattr(_e, "dtype", None)
+            if dt is not None and dt.is_integer() and dt.bits == 64:
+                has_64[0] = True
 
         for dvs in svals.values():
             for vs2 in dvs:
                 for v2 in vs2:
                     walk(v2, _count)
+        if has_64[0]:
+            # Mosaic has no 64-bit vectors; reject at plan time so the
+            # fallback is silent instead of a backend NotImplementedError
+            return _reject("64-bit integer arithmetic in kernel body")
         if n_nodes > _KERNEL_NODE_BUDGET:
             return _reject(f"kernel too complex: {n_nodes} expr nodes "
                            f"> {_KERNEL_NODE_BUDGET}")
@@ -711,6 +732,14 @@ def try_pallas_group(f: Func, box: Box, ctx0: Ctx, graph, boxes):
                   + member_bytes * 2 + window_bytes * 4)
         if total2 > _VMEM_BUDGET:
             pipeline_capable = False
+    # async()/ring_buffer() are the user-facing spellings of exactly this
+    # overlap (reference: src/AsyncProducers.cpp, Func::async @
+    # src/Func.h:2400); the automatic double-buffered DMA is their
+    # lowering, and a request is recorded so schedules can assert it took
+    async_requested = any(
+        m._fschedule.is_async or m._fschedule.ring_buffer_extent
+        for m in members) or f._fschedule.is_async \
+        or bool(f._fschedule.ring_buffer_extent)
     # interpret mode has no DMA engine to overlap; run single-buffered
     # (HALIDE_TPU_NO_PIPELINE: A/B the double-buffer on hardware)
     pipelined = pipeline_capable and not interpret \
@@ -719,7 +748,8 @@ def try_pallas_group(f: Func, box: Box, ctx0: Ctx, graph, boxes):
     global _last_plan
     _last_plan = {"grid": grid, "semantics": tuple(semantics),
                   "pipeline_capable": pipeline_capable,
-                  "pipelined": pipelined, "n_buf": n_buf}
+                  "pipelined": pipelined, "n_buf": n_buf,
+                  "async_requested": async_requested}
 
     # per-buffer scratch refs (separate entries: Mosaic loads/DMA want
     # static buffer selection, steered by step-parity pl.when branches)
@@ -866,7 +896,7 @@ def try_pallas_group(f: Func, box: Box, ctx0: Ctx, graph, boxes):
                     continue
                 val = eval_array(sv, cctx)
                 val = jnp.broadcast_to(val, mshape)
-                current.append(val.astype(vt.dtype.to_np()))
+                current.append(_kcast(val, vt.dtype.to_np()))
             if len(m._defs) > 1:
                 # update stages evaluate in-kernel over the VMEM-resident
                 # member tile (apply_update with the kernel ctx; stripped
@@ -896,7 +926,7 @@ def try_pallas_group(f: Func, box: Box, ctx0: Ctx, graph, boxes):
         val = eval_array(svals[id(f)][0][0], cctx)
         val = jnp.broadcast_to(
             val, full_shape(cctx, list(cctx.axes.values())))
-        out_ref[...] = val.astype(out_dtype)
+        out_ref[...] = _kcast(val, out_dtype)
 
     in_specs = [pl.BlockSpec(memory_space=pltpu.ANY) for _ in ext_arrays]
     out_spec = pl.BlockSpec(tuple(blk), out_index, memory_space=pltpu.VMEM)

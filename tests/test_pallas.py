@@ -82,12 +82,19 @@ def test_unsupported_schedule_falls_back():
     np.testing.assert_array_equal(out, np.clip(img, 0, 63) * 10)
 
 
-def _app_engages_and_matches(name, **kw):
+def _app_engages_and_matches(name, _env=None, **kw):
     """Engagement spy: the app's scheduled group must actually lower to a
     Pallas kernel (silent fallback fails the test), and match its golden."""
+    import os
     from halide_tpu.apps import get
     from halide_tpu.ops import pallas_group as pg
-    app = get(name)(**kw)
+    for k, v in (_env or {}).items():
+        os.environ[k] = v
+    try:
+        app = get(name)(**kw)
+    finally:
+        for k in (_env or {}):
+            os.environ.pop(k, None)
     data = app.make_inputs()
     app.bind(data)
     calls = []
@@ -164,3 +171,40 @@ def test_compositing_blend_kernel_engages():
     # tuple-valued member with a masked 5-step update chain evaluated
     # IN-KERNEL (apply_update under the kernel ctx); bit-exact u8
     _app_engages_and_matches("compositing", width=512, height=128)
+
+
+def test_async_ring_buffer_plan_recorded():
+    # async()/ring_buffer() are the user-facing spelling of the automatic
+    # double-buffered DMA across grid steps; the lowering plan records the
+    # request so schedules can assert the overlap decision
+    from halide_tpu.ops import pallas_group as pg
+    W, H = 256, 64
+    x, y = hl.Var("x"), hl.Var("y")
+    xo, yo, xi, yi = hl.Var("xo"), hl.Var("yo"), hl.Var("xi"), hl.Var("yi")
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 1 << 12, (H, W), np.uint16)
+    inp = hl.Buffer(img)
+    bx, by = hl.Func("ar_bx"), hl.Func("ar_by")
+    bx[x, y] = (inp[x, y] + inp[x + 1, y] + inp[x + 2, y]) / 3
+    by[x, y] = (bx[x, y] + bx[x, y + 1] + bx[x, y + 2]) / 3
+    by.tile(x, y, xo, yo, xi, yi, 64, 16).vectorize(xi).parallel(yo)
+    bx.compute_at(by, xo).async_().ring_buffer(2)
+    by.realize([W - 2, H - 2], jit=False)
+    assert pg._last_plan is not None
+    assert pg._last_plan["async_requested"] is True
+    assert pg._last_plan["pipeline_capable"] in (True, False)
+
+
+def test_stencil_chain_grouped_kernels_engage():
+    # multiple kernel groups in ONE pipeline (opt-in schedule: the fused
+    # XLA path wins at canonical size on v5e, but the grouped lowering
+    # must stay correct)
+    _app_engages_and_matches("stencil_chain", width=256, height=128,
+                             stencils=12, _env={"HALIDE_TPU_SC_KERNEL": "1"})
+
+
+def test_nl_means_boxsum_kernel_engages():
+    # the three 4-D stages (d, blur_d_y, blur_d) fuse into one kernel per
+    # (x, y) tile with the intermediates VMEM-resident
+    _app_engages_and_matches("nl_means", width=256, height=64,
+                             patch_size=5, search_area=5)
