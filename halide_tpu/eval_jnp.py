@@ -340,14 +340,14 @@ def _eval(e: Expr, ctx: Ctx):
         if v.dtype == jnp.bool_:
             v = v.astype(jnp.int32)
         if getattr(ctx, "in_kernel", False) and hasattr(v, "dtype"):
-            # Mosaic has no direct narrow-int <-> float converts
-            # ("Unsupported cast: uint16 -> float32"); widen through i32
-            # (exact: 8/16-bit values fit i32, and i32->f32 is supported)
-            if v.dtype.kind in "iu" and v.dtype.itemsize <= 2 \
-                    and e.dtype.is_float():
+            # Mosaic's convert lowering has no unsigned<->float at any
+            # width and recurses on some narrow paths; route through i32
+            # (exact for 8/16-bit ranges and u32 values < 2^31)
+            if v.dtype.kind in "iu" and e.dtype.is_float() \
+                    and (v.dtype.itemsize <= 2 or v.dtype.kind == "u"):
                 v = v.astype(jnp.int32)
             elif v.dtype.kind == "f" and e.dtype.is_integer() \
-                    and e.dtype.bits <= 16:
+                    and (e.dtype.bits <= 16 or e.dtype.is_uint()):
                 return v.astype(jnp.int32).astype(_np_dtype(e.dtype))
         return v.astype(_np_dtype(e.dtype))
     if isinstance(e, E.Reinterpret):

@@ -190,6 +190,50 @@ def emit_artifacts(gen: Generator, out_dir: str, fn_name: str,
             json.dump(meta, f, indent=1)
         written["metadata"] = path("metadata.json")
 
+    if "pysource" in emits:
+        # readable-source output (the CodeGen_C analog, reference:
+        # src/CodeGen_C.cpp / compile_to_c): a standalone runnable .py
+        # that rebuilds the pipeline from its serialized graph, plus the
+        # LOWERED program as a pretty-printed jaxpr appendix
+        from .serialize import serialize_pipeline
+        try:
+            graph_json = serialize_pipeline(pipeline)
+            jaxpr_txt = ""
+            if sizes is not None:
+                try:
+                    import jax as _jx
+                    fn0, arrs0, _r0, pres0 = pipeline._prepare(
+                        sizes, jit=False)
+                    jaxpr_txt = str(_jx.make_jaxpr(
+                        lambda a, p2: fn0(a, p2))(tuple(arrs0),
+                                                  tuple(pres0)))
+                except Exception as ex:
+                    jaxpr_txt = f"<jaxpr unavailable: {ex}>"
+            src = (
+                '"""Generated by halide_tpu (-e pysource): standalone '
+                f'runnable source for {fn_name!r}.\n'
+                'Rebuilds the pipeline from its serialized graph and '
+                'realizes it with bound inputs.\n"""\n'
+                "import halide_tpu as hl\n"
+                "from halide_tpu.serialize import deserialize_pipeline\n\n"
+                f"GRAPH = r'''{graph_json}'''\n\n\n"
+                "def pipeline():\n"
+                "    return deserialize_pipeline(GRAPH)\n\n\n"
+                "def run(sizes, **inputs):\n"
+                "    p, imgs, params = pipeline()\n"
+                "    for name, v in inputs.items():\n"
+                "        (imgs.get(name) or params[name]).set(v)\n"
+                "    return p.realize(sizes)\n"
+                + ("\n\n# ---- lowered program (jaxpr) ----\n"
+                   + "".join(f"# {ln}\n"
+                             for ln in jaxpr_txt.splitlines())
+                   if jaxpr_txt else ""))
+            with open(path("py"), "w") as f:
+                f.write(src)
+            written["pysource"] = path("py")
+        except Exception as e:
+            written["pysource_error"] = str(e)
+
     if "object" in emits:
         # AOT executable: jax.export'd StableHLO of the whole pipeline at
         # the given sizes (the analog of the compiled object + registration)

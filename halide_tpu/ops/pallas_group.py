@@ -74,14 +74,18 @@ def _cdiv(a, b):
 
 
 def _kcast(val, np_dtype):
-    """Kernel-safe astype: direct float<->narrow-int converts send jax's
-    Mosaic lowering (_convert_helper) into infinite recursion; widen
-    through i32 (exact for 8/16-bit ranges)."""
+    """Kernel-safe astype. Mosaic's convert lowering supports int<->int
+    and float->signed directly, but float->unsigned and unsigned->float
+    raise (and some narrow paths recurse in _convert_helper); route those
+    through i32 -- exact for 8/16-bit ranges and for u32 values < 2^31
+    (the framework's unsigned pipelines stay within that)."""
     dst = np.dtype(np_dtype)
     src = val.dtype
-    if src.kind == "f" and dst.kind in "iu" and dst.itemsize <= 2:
+    if src.kind == "f" and dst.kind in "iu" \
+            and (dst.itemsize <= 2 or dst.kind == "u"):
         return val.astype(jnp.int32).astype(dst)
-    if src.kind in "iu" and src.itemsize <= 2 and dst.kind == "f":
+    if src.kind in "iu" and dst.kind == "f" \
+            and (src.itemsize <= 2 or src.kind == "u"):
         return val.astype(jnp.int32).astype(dst)
     return val.astype(dst)
 

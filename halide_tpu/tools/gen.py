@@ -12,7 +12,8 @@ from __future__ import annotations
 
 import sys
 
-_EMITS = ["hlpipe", "stmt", "stmt_html", "metadata", "c_header", "object"]
+_EMITS = ["hlpipe", "stmt", "stmt_html", "metadata", "c_header", "object",
+          "pysource"]
 
 
 def main(argv=None) -> int:

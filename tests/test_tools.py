@@ -98,3 +98,27 @@ def test_traceviz_dump_and_html(tmp_path, capsys):
     assert rc == 0
     html = open(html_path).read()
     assert "tv_prod" in html and "data:image/png;base64," in html
+
+
+def test_gen_emit_pysource(tmp_path):
+    # the CodeGen_C analog: -e pysource writes a standalone runnable .py
+    # (graph round-trip + lowered jaxpr appendix) that reproduces the
+    # pipeline's output
+    import subprocess
+    import numpy as np
+    from halide_tpu import generator as G
+
+    gen = G.create("blur")
+    written = G.emit_artifacts(gen, str(tmp_path), "blur_fn",
+                               ["pysource"], sizes=None)
+    assert "pysource" in written, written
+    src_path = written["pysource"]
+    ns = {}
+    exec(open(src_path).read(), ns)
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 1 << 14, (34, 66), np.uint16)
+    out = ns["run"]([64, 32], input=img).to_numpy()
+    a = img.astype(np.uint16)
+    bx = (a[:, :-2] + a[:, 1:-1] + a[:, 2:]) // 3
+    ref = (bx[:-2] + bx[1:-1] + bx[2:]) // 3
+    np.testing.assert_array_equal(np.asarray(out), ref)
