@@ -222,14 +222,21 @@ def off_resolve(v, ctx: "Ctx"):
 
 
 def axis_array(ax: Axis, ctx: Ctx):
-    a = jnp.arange(0, ax.extent, dtype=jnp.int32)
+    shape = _shape_at(ctx.ndim, ax.rpos, ax.extent)
+    if getattr(ctx, "in_kernel", False):
+        # Mosaic rejects reshapes like (1,4)->(4,1,1) ("unsupported shape
+        # cast"); build the index directly in the target shape via iota
+        a = jax.lax.broadcasted_iota(jnp.int32, shape,
+                                     ctx.ndim - 1 - ax.rpos)
+    else:
+        a = jnp.arange(0, ax.extent, dtype=jnp.int32).reshape(shape)
     mn = off_resolve(ax.min, ctx)
     if _is_static(mn):
         if mn:
             a = a + int(mn)
     else:
         a = a + jnp.asarray(mn, jnp.int32)   # traced tile origin
-    return a.reshape(_shape_at(ctx.ndim, ax.rpos, ax.extent))
+    return a
 
 
 def materialize(v, ctx: Ctx, dtype: Optional[Type] = None):
@@ -304,7 +311,15 @@ def evaluate(e: Expr, ctx: Ctx):
 
 def eval_array(e: Expr, ctx: Ctx):
     v = evaluate(e, ctx)
-    return materialize(v, ctx)
+    r = materialize(v, ctx)
+    if getattr(ctx, "in_kernel", False) and hasattr(r, "dtype") \
+            and r.dtype.itemsize == 8:
+        # 64-bit values must never enter a Mosaic kernel (no 64-bit
+        # vectors; the i64->i32 convert lowering RECURSES); name the
+        # offending expr and fall back to XLA cleanly
+        raise PallasUnsupported(
+            f"64-bit value ({r.dtype}) in kernel from: {e}")
+    return r
 
 
 def _np_dtype(t: Type):
@@ -2329,7 +2344,29 @@ def _eval_intrin(e: E.Intrin, ctx: Ctx):
         lo, hi = t.min_value(), t.max_value()
         if e.args[0].dtype.is_float():
             v = jnp.clip(v, float(lo), float(hi))
+            if getattr(ctx, "in_kernel", False):
+                # Mosaic: float->narrow/unsigned goes through i32 (see
+                # the Cast path); i64 never enters a kernel
+                return v.astype(jnp.int32).astype(_np_dtype(t))
             return v.astype(_np_dtype(t))
+        src_t = e.args[0].dtype
+        if getattr(ctx, "in_kernel", False) or \
+                (src_t.bits <= 32 and src_t.is_int()) or \
+                (src_t.bits < 32 and src_t.is_uint()) or t.bits >= 32:
+            # source range fits signed i32 (or the clip bounds do):
+            # clip in i32 -- Mosaic has no 64-bit vectors, and its
+            # convert lowering RECURSES on i64->i32
+            wide32 = v.astype(jnp.int32)
+            lo32 = max(int(lo), -(1 << 31))
+            hi32 = min(int(hi), (1 << 31) - 1)
+            if src_t.bits == 32 and src_t.is_uint():
+                # u32 values may exceed i32; clamp via unsigned compare
+                wide32 = jnp.where(v > jnp.uint32(hi32),
+                                   jnp.int32(hi32),
+                                   v.astype(jnp.int32))
+                return jnp.maximum(wide32, jnp.int32(lo32)) \
+                    .astype(_np_dtype(t))
+            return jnp.clip(wide32, lo32, hi32).astype(_np_dtype(t))
         # integer -> integer: clip in a wide signed space
         wide = v.astype(jnp.int64)
         wide = jnp.clip(wide, int(lo), min(int(hi), (1 << 62)))

@@ -44,7 +44,7 @@ import os as _os
 # v5e has 128 MiB of VMEM; the working-set estimate below is conservative
 # (double-buffer factors). Override with HALIDE_TPU_VMEM_BUDGET.
 _VMEM_BUDGET = int(_os.environ.get("HALIDE_TPU_VMEM_BUDGET",
-                                   16 * 1024 * 1024))
+                                   40 * 1024 * 1024))
 # the XLA scoped-vmem default is only 16 MiB and Mosaic's expression
 # temporaries (e.g. i32-promoted u16 arithmetic) can double the planned
 # working set; kernels request this higher cap (measured: stencil_chain's
