@@ -42,7 +42,11 @@ def build(width: int = 1536, height: int = 2560, patch_size: int = 7,
     # TPU schedule: the three 4-D stages (x, y, dx, dy) fuse into ONE
     # Pallas kernel per (x, y) tile with d and blur_d_y VMEM-resident --
     # erasing two ~190MB materializations per frame at canonical size
-    if width % 256 == 0 and height % 64 == 0:
+    import os
+    if width % 256 == 0 and height % 64 == 0 and \
+            os.environ.get("HALIDE_TPU_NLM_KERNEL"):
+        # OPT-IN: correct in interpret mode; Mosaic compile still 500s on
+        # the real backend (execute-time failures cannot fall back)
         xo, yo, xin, yin = (hl.Var("xo"), hl.Var("yo"),
                             hl.Var("xin"), hl.Var("yin"))
         blur_d.tile(x, y, xo, yo, xin, yin, 256, 64) \

@@ -313,12 +313,14 @@ def eval_array(e: Expr, ctx: Ctx):
     v = evaluate(e, ctx)
     r = materialize(v, ctx)
     if getattr(ctx, "in_kernel", False) and hasattr(r, "dtype") \
-            and r.dtype.itemsize == 8:
-        # 64-bit values must never enter a Mosaic kernel (no 64-bit
-        # vectors; the i64->i32 convert lowering RECURSES); name the
-        # offending expr and fall back to XLA cleanly
+            and r.dtype.itemsize == 8 and getattr(r, "ndim", 0) > 0:
+        # 64-bit ARRAYS must never enter a Mosaic kernel (no 64-bit
+        # vectors; the i64->i32 convert lowering RECURSES). Weak scalars
+        # are fine -- they re-weaken on use. Keep the message bounded:
+        # repr of a deep tower can itself exhaust the stack.
         raise PallasUnsupported(
-            f"64-bit value ({r.dtype}) in kernel from: {e}")
+            f"64-bit value ({r.dtype}) in kernel from a "
+            f"{type(e).__name__} expr (dtype {getattr(e, 'dtype', '?')})")
     return r
 
 

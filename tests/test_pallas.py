@@ -157,14 +157,15 @@ def test_interpolate_blend_kernel_engages():
     # the full-res pyramid blend + normalize lowers to one Pallas kernel
     # (interpolated[1] staged through d=2 div windows)
     _app_engages_and_matches("interpolate", width=512, height=128,
-                             levels=6)
+                             levels=6, _env={"HALIDE_TPU_IP_KERNEL": "1"})
 
 
 def test_local_laplacian_collapse_kernel_engages():
     # the 8-plane level-0 Laplacian + fractional-slice collapse + final
     # blend runs as one kernel per tile (lPyramid[0] as a VMEM member)
     _app_engages_and_matches("local_laplacian", width=512, height=128,
-                             pyramid_levels=5)
+                             pyramid_levels=5,
+                             _env={"HALIDE_TPU_LL_KERNEL": "1"})
 
 
 def test_compositing_blend_kernel_engages():
@@ -207,4 +208,5 @@ def test_nl_means_boxsum_kernel_engages():
     # the three 4-D stages (d, blur_d_y, blur_d) fuse into one kernel per
     # (x, y) tile with the intermediates VMEM-resident
     _app_engages_and_matches("nl_means", width=256, height=64,
-                             patch_size=5, search_area=5)
+                             patch_size=5, search_area=5,
+                             _env={"HALIDE_TPU_NLM_KERNEL": "1"})
