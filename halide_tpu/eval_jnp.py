@@ -222,14 +222,12 @@ def off_resolve(v, ctx: "Ctx"):
 
 
 def axis_array(ax: Axis, ctx: Ctx):
+    # NOTE: a broadcasted_iota variant for kernels was tried (to avoid
+    # (1,N)->(N,1,1) shape casts Mosaic rejects in SOME kernels) but it
+    # destabilized previously-proven kernels on the real backend; the
+    # arange+reshape form is the known-good baseline
     shape = _shape_at(ctx.ndim, ax.rpos, ax.extent)
-    if getattr(ctx, "in_kernel", False):
-        # Mosaic rejects reshapes like (1,4)->(4,1,1) ("unsupported shape
-        # cast"); build the index directly in the target shape via iota
-        a = jax.lax.broadcasted_iota(jnp.int32, shape,
-                                     ctx.ndim - 1 - ax.rpos)
-    else:
-        a = jnp.arange(0, ax.extent, dtype=jnp.int32).reshape(shape)
+    a = jnp.arange(0, ax.extent, dtype=jnp.int32).reshape(shape)
     mn = off_resolve(ax.min, ctx)
     if _is_static(mn):
         if mn:

@@ -128,7 +128,8 @@ def test_camera_pipe_isp_kernel_engages():
     # the full-res back half of the ISP (demosaic interleave -> color
     # matrix -> tone curve -> sharpen) must lower to one Pallas kernel
     # with half-res planes staged via d=2 div-indexed windows; bit-exact
-    _app_engages_and_matches("camera_pipe", out_width=512, out_height=128)
+    _app_engages_and_matches("camera_pipe", out_width=512, out_height=128,
+                             _env={"HALIDE_TPU_CP_KERNEL": "1"})
 
 
 def test_kernel_repeat_matches_jnp_repeat():
@@ -171,7 +172,8 @@ def test_local_laplacian_collapse_kernel_engages():
 def test_compositing_blend_kernel_engages():
     # tuple-valued member with a masked 5-step update chain evaluated
     # IN-KERNEL (apply_update under the kernel ctx); bit-exact u8
-    _app_engages_and_matches("compositing", width=512, height=128)
+    _app_engages_and_matches("compositing", width=512, height=128,
+                             _env={"HALIDE_TPU_CO_KERNEL": "1"})
 
 
 def test_async_ring_buffer_plan_recorded():
