@@ -472,8 +472,17 @@ def main():
                 worker_exit = rc
                 continue  # one final drain, then handle exit
             left = wall - (time.monotonic() - t_start)
-            dl = (INIT_S if current == "__init__"
-                  else PER_APP_S.get(current, DEFAULT_APP_S))
+            if current == "__init__":
+                # the axon terminal can wedge new connections for many
+                # minutes after a failed session; killing a WAITING
+                # worker only re-queues it behind the same wedge, so
+                # before anything has been measured the first connect may
+                # use (almost) the whole wall -- partial results then
+                # flow from the per-app deadlines and the ranked order
+                dl = INIT_S if results else max(
+                    INIT_S, wall - (t_cur - t_start) - 30)
+            else:
+                dl = PER_APP_S.get(current, DEFAULT_APP_S)
             if time.monotonic() - t_cur > dl or left < 5:
                 why = ("deadline exceeded" if left >= 5
                        else "bench wall budget exhausted")
