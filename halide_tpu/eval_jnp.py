@@ -513,11 +513,14 @@ def _floor_div_arr(am, bm, t: Type):
         .astype(jnp.int32)
     for _ in range(2):
         r = x - q * b
-        # floor semantics: r must land in [0, |b|) with the sign of b
-        q = q + jnp.where((b > 0) & (r >= b), 1, 0) \
-            - jnp.where((b > 0) & (r < 0), 1, 0)
-        q = q + jnp.where((b < 0) & (r <= b), 1, 0) \
-            - jnp.where((b < 0) & (r > 0), 1, 0)
+        # floor semantics: r must land in [0, |b|) with the sign of b.
+        # bool->i32 casts keep everything 32-bit: with jax_enable_x64 on,
+        # a bare `jnp.where(c, 1, 0)` makes an i64 array, and i64->i32
+        # RECURSES in Mosaic's convert lowering
+        q = q + ((b > 0) & (r >= b)).astype(jnp.int32) \
+            - ((b > 0) & (r < 0)).astype(jnp.int32)
+        q = q + ((b < 0) & (r <= b)).astype(jnp.int32) \
+            - ((b < 0) & (r > 0)).astype(jnp.int32)
     return q.astype(_np_dtype(t))
 
 

@@ -695,7 +695,10 @@ def try_pallas_group(f: Func, box: Box, ctx0: Ctx, graph, boxes):
         blk[n - 1 - yi_] = ty
 
     def out_index(*pids):
-        idx2 = [0] * n
+        # untiled dims get a CONSTANT block index; it must be i32 -- with
+        # jax_enable_x64 on, a bare Python 0 traces as an i64 scalar and
+        # Mosaic fails to legalize the index map's func.return
+        idx2 = [jnp.int32(0)] * n
         if yi_ is not None:
             iy, ix = pids
             idx2[np_x] = ix
