@@ -41,6 +41,13 @@ _COMBINE_OPS = ("add", "sub", "mul", "min", "max")
 # outermost rdom dim sequentially
 _DENSE_COMBINE_MAX = 1 << 27
 
+# small-tap reductions (<= this many rdom points) unroll to shifted reads
+# XLA fuses into ONE pass over the output; both the einsum path and the
+# dense fallback would materialize a taps-x-larger stacked temporary
+# (HBM-bound), and a taps-deep MXU contraction wastes the systolic array
+import os as _os
+_UNROLL_TAPS = int(_os.environ.get("HALIDE_TPU_UNROLL_TAPS", "16"))
+
 
 def _is_undef(e: Expr) -> bool:
     return isinstance(e, E.Intrin) and e.name == "undef"
@@ -267,8 +274,15 @@ def _try_dense_combine(func, d, current, base_ctx: Ctx, rdom_axes):
             arr = eval_array(g, base_ctx.with_bindings(bind))
             out.append(jnp.broadcast_to(arr, shape).astype(current[i].dtype))
             continue
+        taps = 1
+        for a in rdom_axes:
+            taps *= a.extent
         if op == "add" and mask is None:
-            # contraction fast paths (convolutions / matmuls on the MXU)
+            # contraction fast paths (convolutions / matmuls on the MXU).
+            # Small-tap sums skip the einsum path: it stacks the shifted
+            # reads into a taps-x-larger temporary and feeds the MXU a
+            # taps-deep contraction (reference depthwise_separable_conv:
+            # 9-tap channel-batched filter ran 12x slower that way)
             from .eval_jnp import (PallasUnsupported, try_conv_reduce,
                                    try_einsum_reduce)
             try:
@@ -276,7 +290,7 @@ def _try_dense_combine(func, d, current, base_ctx: Ctx, rdom_axes):
                                       [a.name for a in rdom_axes])
             except (CompileError, PallasUnsupported):
                 red = None
-            if red is None:
+            if red is None and taps > _UNROLL_TAPS:
                 red = try_einsum_reduce(g, inner, red_axes)
             if red is not None:
                 red = red.reshape(red.shape[-base_ctx.ndim:]) if \
@@ -284,6 +298,57 @@ def _try_dense_combine(func, d, current, base_ctx: Ctx, rdom_axes):
                 nv = current[i] + red.astype(current[i].dtype)
                 out.append(jnp.broadcast_to(nv, shape))
                 continue
+        if op in _COMBINE_OPS and 1 < taps <= _UNROLL_TAPS:
+            # static unroll: bind each rdom point to a constant and fold.
+            # Every term is a (shifted) read over the plain output grid, so
+            # XLA fuses the whole reduction into one pass -- no stacked
+            # temporary, no reduce dimension at all (reference:
+            # src/Func.h unroll(); the reference reaches the same code by
+            # unrolling the reduction loop)
+            import itertools
+            try:
+                acc = None
+                for combo in itertools.product(
+                        *[range(a.extent) for a in rdom_axes]):
+                    bind = dict(base_ctx.bindings)
+                    for a, k in zip(rdom_axes, combo):
+                        bind[a.name] = AVal({}, a.min + k)
+                    cb = base_ctx.with_bindings(bind)
+                    v = jnp.asarray(eval_array(g, cb))
+                    if d.predicates:
+                        m = _eval_mask(d.predicates, cb)
+                        if m is not None:
+                            ident = jnp.asarray(_identity_for(
+                                op, d.values[i].dtype), v.dtype)
+                            v = jnp.where(m, v, ident)
+                    if acc is None:
+                        acc = v
+                    elif op in ("add", "sub"):
+                        acc = acc + v
+                    elif op == "mul":
+                        acc = acc * v
+                    elif op == "min":
+                        acc = jnp.minimum(acc, v)
+                    else:
+                        acc = jnp.maximum(acc, v)
+                red = jnp.asarray(acc).astype(current[i].dtype)
+                red = red.reshape(red.shape[-base_ctx.ndim:]) if \
+                    red.ndim > base_ctx.ndim else red
+                cur = current[i]
+                if op == "add":
+                    nv = cur + red
+                elif op == "sub":
+                    nv = cur - red
+                elif op == "mul":
+                    nv = cur * red
+                elif op == "min":
+                    nv = jnp.minimum(cur, red)
+                else:
+                    nv = jnp.maximum(cur, red)
+                out.append(jnp.broadcast_to(nv, shape))
+                continue
+            except CompileError:
+                pass
         if grid > _DENSE_COMBINE_MAX and len(rdom_axes) > 1:
             # MXU contractions above never materialize the product grid;
             # this fallback does -- multi-GB temporaries at full res
