@@ -14,17 +14,32 @@ def build(width: int = 1536, height: int = 2560, stencils: int = 32) -> App:
     x, y = hl.Var("x"), hl.Var("y")
     inp = hl.ImageParam(hl.UInt(16), 2, "input")
 
+    # TPU-first formulation: the (i+3)*(j+3) weight grid is SEPARABLE and
+    # u16 arithmetic is a ring, so each 25-tap stencil factors exactly into
+    # a 5-tap row pass then a 5-tap column pass; both passes run in f32
+    # (row sum <= 15*65535 = 983k, column sum <= 15*983k = 14.7M, both
+    # < 2^24, so every intermediate is an exactly-represented integer) with
+    # one wrap mod 2^16 at stage end. Bit-identical to the u16 form, 10
+    # FMAs/pixel instead of 25 integer multiplies (i32-promoted integer
+    # multiply is multi-pass on the VPU; f32 FMA is single-issue).
     stages = [hl.repeat_edge(inp)]
     for s in range(stencils):
-        f = hl.Func(f"stage_{s}")
-        e = hl.u16(0)
         prev = stages[-1]
+        row = hl.Func(f"row_{s}")
+        er = hl.f32(0)
+        for j in range(-2, 3):
+            er = er + float(j + 3) * hl.f32(prev[x, y + j])
+        row[x, y] = er
+        f = hl.Func(f"stage_{s}")
+        ec = hl.f32(0)
         for i in range(-2, 3):
-            for j in range(-2, 3):
-                e = e + hl.u16((i + 3) * (j + 3)) * prev[x + i, y + j]
-        f[x, y] = e
+            ec = ec + float(i + 3) * row[x + i, y]
+        # exact wrap: ec/65536 is a power-of-two scale (exact), floor of an
+        # exact integer is exact, the difference is < 2^16
+        f[x, y] = hl.u16(ec - 65536.0 * hl.floor(ec * (1.0 / 65536.0)))
         # materialize every stage (the reference's CPU schedule stages every
         # other one; XLA re-fuses neighbors anyway)
+        row.compute_root()
         f.compute_root()
         stages.append(f)
 

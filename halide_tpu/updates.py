@@ -46,7 +46,10 @@ _DENSE_COMBINE_MAX = 1 << 27
 # dense fallback would materialize a taps-x-larger stacked temporary
 # (HBM-bound), and a taps-deep MXU contraction wastes the systolic array
 import os as _os
-_UNROLL_TAPS = int(_os.environ.get("HALIDE_TPU_UNROLL_TAPS", "16"))
+
+
+def _unroll_taps() -> int:
+    return int(_os.environ.get("HALIDE_TPU_UNROLL_TAPS", "16"))
 
 
 def _is_undef(e: Expr) -> bool:
@@ -290,7 +293,7 @@ def _try_dense_combine(func, d, current, base_ctx: Ctx, rdom_axes):
                                       [a.name for a in rdom_axes])
             except (CompileError, PallasUnsupported):
                 red = None
-            if red is None and taps > _UNROLL_TAPS:
+            if red is None and taps > _unroll_taps():
                 red = try_einsum_reduce(g, inner, red_axes)
             if red is not None:
                 red = red.reshape(red.shape[-base_ctx.ndim:]) if \
@@ -298,7 +301,7 @@ def _try_dense_combine(func, d, current, base_ctx: Ctx, rdom_axes):
                 nv = current[i] + red.astype(current[i].dtype)
                 out.append(jnp.broadcast_to(nv, shape))
                 continue
-        if op in _COMBINE_OPS and 1 < taps <= _UNROLL_TAPS:
+        if op in _COMBINE_OPS and 1 < taps <= _unroll_taps():
             # static unroll: bind each rdom point to a constant and fold.
             # Every term is a (shifted) read over the plain output grid, so
             # XLA fuses the whole reduction into one pass -- no stacked
