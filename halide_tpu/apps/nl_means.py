@@ -66,6 +66,11 @@ def build(width: int = 1536, height: int = 2560, patch_size: int = 7,
     nlm_sum = hl.Func("non_local_means_sum")
     nlm_sum[x, y, c] += w[x, y, s_dom.x, s_dom.y] \
         * cwa[x + s_dom.x, y + s_dom.y, c]
+    # Unroll the 49-tap search accumulation (reference unrolls s_dom.x,
+    # nl_means_generator.cpp:62): one fused pass of shifted reads instead
+    # of a stacked 49x temporary feeding an MXU contraction with tiny K
+    # (measured 18.7 -> 11.4 ms at 1280x768 on v5e).
+    nlm_sum.update().unroll(s_dom.x).unroll(s_dom.y)
 
     output = hl.Func("non_local_means")
     output[x, y, c] = hl.clamp(

@@ -23,6 +23,7 @@ def build(width: int = 1536, height: int = 2560, stencils: int = 32) -> App:
     # FMAs/pixel instead of 25 integer multiplies (i32-promoted integer
     # multiply is multi-pass on the VPU; f32 FMA is single-issue).
     stages = [hl.repeat_edge(inp)]
+    rows = []
     for s in range(stencils):
         prev = stages[-1]
         row = hl.Func(f"row_{s}")
@@ -41,6 +42,7 @@ def build(width: int = 1536, height: int = 2560, stencils: int = 32) -> App:
         # other one; XLA re-fuses neighbors anyway)
         row.compute_root()
         f.compute_root()
+        rows.append(row)
         stages.append(f)
 
     output = hl.Func("chain_out")
@@ -68,6 +70,8 @@ def build(width: int = 1536, height: int = 2560, stencils: int = 32) -> App:
              .vectorize(xi2).parallel(yo)
             for m in range(prev_a + 1, s_idx):
                 stages[1 + m].compute_at(f, xo)
+                rows[m].compute_at(f, xo)
+            rows[s_idx].compute_at(f, xo)
             prev_a = s_idx
 
     def make_inputs(seed=0):

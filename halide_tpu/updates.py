@@ -52,6 +52,22 @@ def _unroll_taps() -> int:
     return int(_os.environ.get("HALIDE_TPU_UNROLL_TAPS", "16"))
 
 
+# last reduction-lowering decision per func name (tests/debugging spy,
+# like pallas_group._last_plan): "conv" | "einsum" | "unrolled" | "dense"
+_last_reduce_path: dict = {}
+
+
+def _rdom_marked_unrolled(d, rdom_axes) -> bool:
+    """True iff EVERY rdom dim of this update is marked unrolled()."""
+    from .schedule import ForType
+    names = {a.name for a in rdom_axes}
+    if not names:
+        return False
+    marked = {dim.var for dim in d.schedule.dims
+              if dim.is_rvar and dim.for_type == ForType.UNROLLED}
+    return names <= marked
+
+
 def _is_undef(e: Expr) -> bool:
     return isinstance(e, E.Intrin) and e.name == "undef"
 
@@ -280,7 +296,11 @@ def _try_dense_combine(func, d, current, base_ctx: Ctx, rdom_axes):
         taps = 1
         for a in rdom_axes:
             taps *= a.extent
-        if op == "add" and mask is None:
+        # update().unroll(rvar) on every rdom dim forces the unrolled
+        # lowering (reference: src/Func.h Stage::unroll on RVars unrolls
+        # the reduction loop); without marks the tap-count heuristic picks
+        unroll_forced = _rdom_marked_unrolled(d, rdom_axes)
+        if op == "add" and mask is None and not unroll_forced:
             # contraction fast paths (convolutions / matmuls on the MXU).
             # Small-tap sums skip the einsum path: it stacks the shifted
             # reads into a taps-x-larger temporary and feeds the MXU a
@@ -291,17 +311,21 @@ def _try_dense_combine(func, d, current, base_ctx: Ctx, rdom_axes):
             try:
                 red = try_conv_reduce(g, inner,
                                       [a.name for a in rdom_axes])
+                path = "conv"
             except (CompileError, PallasUnsupported):
                 red = None
             if red is None and taps > _unroll_taps():
                 red = try_einsum_reduce(g, inner, red_axes)
+                path = "einsum"
             if red is not None:
+                _last_reduce_path[func.name] = path
                 red = red.reshape(red.shape[-base_ctx.ndim:]) if \
                     red.ndim > base_ctx.ndim else red
                 nv = current[i] + red.astype(current[i].dtype)
                 out.append(jnp.broadcast_to(nv, shape))
                 continue
-        if op in _COMBINE_OPS and 1 < taps <= _unroll_taps():
+        if op in _COMBINE_OPS and (unroll_forced
+                                   or 1 < taps <= _unroll_taps()):
             # static unroll: bind each rdom point to a constant and fold.
             # Every term is a (shifted) read over the plain output grid, so
             # XLA fuses the whole reduction into one pass -- no stacked
@@ -334,6 +358,7 @@ def _try_dense_combine(func, d, current, base_ctx: Ctx, rdom_axes):
                         acc = jnp.minimum(acc, v)
                     else:
                         acc = jnp.maximum(acc, v)
+                _last_reduce_path[func.name] = "unrolled"
                 red = jnp.asarray(acc).astype(current[i].dtype)
                 red = red.reshape(red.shape[-base_ctx.ndim:]) if \
                     red.ndim > base_ctx.ndim else red
@@ -358,6 +383,7 @@ def _try_dense_combine(func, d, current, base_ctx: Ctx, rdom_axes):
             # (nl_means' 49-point search OOMed the TPU compiler). Step the
             # outermost rdom dim sequentially instead.
             return None
+        _last_reduce_path[func.name] = "dense"
         garr = eval_array(g, inner)
         garr = jnp.broadcast_to(garr, jnp.broadcast_shapes(
             garr.shape if hasattr(garr, "shape") else (),

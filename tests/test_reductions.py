@@ -286,3 +286,47 @@ def test_masked_linear_scan():
     for i in range(1, 16):
         w[i] = (0.5 * w[i - 1] + a[i]) if i % 2 == 0 else w[i]
     assert np.abs(got - w).max() < 1e-6
+
+
+def test_update_unroll_rvar_forces_unrolled_lowering():
+    """update().unroll(rvar) on every rdom dim forces the shifted-read
+    unrolled lowering even past the tap-count heuristic (reference:
+    src/Func.h Stage::unroll on RVars unrolls the reduction loop)."""
+    from halide_tpu import updates
+
+    def build(mark):
+        x, y = hl.Var("x"), hl.Var("y")
+        r = hl.RDom(0, 5, 0, 5, "r")
+        inp = hl.ImageParam(hl.Float(32), 2, "in_u")
+        g = hl.repeat_edge(inp)
+        f = hl.Func(f"unroll_spy_{int(mark)}")
+        f[x, y] += g[x + r.x, y + r.y]
+        if mark:
+            f.update().unroll(r.x).unroll(r.y)
+        return f, inp
+
+    rng = np.random.default_rng(0)
+    a = rng.random((12, 16), np.float32)
+    ref = None
+    import os
+    old = os.environ.get("HALIDE_TPU_UNROLL_TAPS")
+    os.environ["HALIDE_TPU_UNROLL_TAPS"] = "4"   # 25 taps > threshold
+    try:
+        for mark in (False, True):
+            f, inp = build(mark)
+            inp.set(hl.Buffer(a))
+            out = f.realize([16, 12]).to_numpy()
+            path = updates._last_reduce_path.get(f.name)
+            if mark:
+                assert path == "unrolled", path
+            else:
+                assert path != "unrolled", path
+            if ref is None:
+                ref = out
+            else:
+                np.testing.assert_allclose(out, ref, rtol=1e-5)
+    finally:
+        if old is None:
+            os.environ.pop("HALIDE_TPU_UNROLL_TAPS", None)
+        else:
+            os.environ["HALIDE_TPU_UNROLL_TAPS"] = old
