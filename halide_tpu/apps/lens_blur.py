@@ -32,10 +32,19 @@ def _upsample(f, vars_):
     rest = tuple(vars_[2:])
     upx = hl.Func(f.name + "_usx")
     upy = hl.Func(f.name + "_usy")
-    upx[vars_] = 0.25 * f[((x / 2) - 1 + 2 * (x % 2), y) + rest] \
-        + 0.75 * f[(x / 2, y) + rest]
-    upy[vars_] = 0.25 * upx[(x, (y / 2) - 1 + 2 * (y % 2)) + rest] \
-        + 0.75 * upx[(x, y / 2) + rest]
+    # The reference writes the tap as f[x/2 - 1 + 2*(x%2)]: parity INSIDE
+    # the index makes every read data-dependent, and the 4-D pyramid
+    # upsample degenerates to per-element gathers on TPU. Moving parity
+    # into the WEIGHT leaves two pure floor-div reads on the slice path.
+    # Bit-exact: per parity the same two products are formed (x even:
+    # 0.25*f[x/2-1] + 0.75*f[x/2]; x odd: 0.25*f[x/2+1] + 0.75*f[x/2]),
+    # only the (commutative) addition order changes.
+    wx = 0.75 - 0.5 * hl.f32(x % 2)
+    upx[vars_] = wx * f[((x + 1) / 2, y) + rest] \
+        + (1.0 - wx) * f[((x - 1) / 2, y) + rest]
+    wy = 0.75 - 0.5 * hl.f32(y % 2)
+    upy[vars_] = wy * upx[(x, (y + 1) / 2) + rest] \
+        + (1.0 - wy) * upx[(x, (y - 1) / 2) + rest]
     return upy
 
 
@@ -109,6 +118,11 @@ def build(width: int = 192, height: int = 320, slices: int = 32,
     if rw is not None:
         worst_y[x, y] = hl.maximum(bokeh_radius[x, y + rw.x])
         worst[x, y] = hl.maximum(worst_y[x + rw.x, y])
+        # separable stages MUST be staged: inlined, the two 19-tap maxima
+        # compose into a 361-tap dense reduction grid (~443MB at 640x480;
+        # measured ~1.3 s of the old 2.1 s frame). Reference schedules
+        # worst_case_bokeh_radius_y at tiles (lens_blur_generator.cpp).
+        worst_y.compute_root()
     else:
         worst_y[x, y] = bokeh_radius[x, y]
         worst[x, y] = worst_y[x, y]
@@ -146,7 +160,10 @@ def build(width: int = 192, height: int = 320, slices: int = 32,
     sample_weight[x, y, z] = hl.select(
         hl.logical_and(hl.logical_or(in_bokeh_of_this, in_front),
                        this_in_bokeh_of_sample), 1.0, 0.0)
-    sample_weight.compute_root()
+    if max_blur == 0:
+        # only the degenerate branch consumes it directly (the dense
+        # branch folds the weight into the per-offset contraction below)
+        sample_weight.compute_root()
 
     su_s = sample_locations[x, y, s.x][0]
     sv_s = sample_locations[x, y, s.x][1]
@@ -169,8 +186,16 @@ def build(width: int = 192, height: int = 320, slices: int = 32,
         # range for the scatter target
         su_c = hl.clamp(su_s, -max_blur, max_blur)
         sv_c = hl.clamp(sv_s, -max_blur, max_blur)
-        bokeh_w[x, y, (su_c + max_blur) * K + (sv_c + max_blur)] += \
-            sample_weight[x, y, s.x]
+        # Count-only histogram: the reference's per-sample weight
+        # (sample_weight above) reads bokeh_radius_sq/depth at the
+        # SAMPLED coordinate -- a data-dependent 2-D gather per (pixel,
+        # sample), ~110 ms of the frame on v5e. But the weight is a
+        # function of (x, y, offset-code) only, so for every code k:
+        #   sum_s w_s * [code_s == k] == W_k(x, y) * sum_s [code_s == k]
+        # Scatter raw counts here; fold W_k (static shifted reads of
+        # depth / bokeh_radius_sq) into the per-offset contraction below.
+        # Counts and 0/1 weights are small integers in f32: bit-exact.
+        bokeh_w[x, y, (su_c + max_blur) * K + (sv_c + max_blur)] += 1.0
         bokeh_w.compute_root()
         # statically-unrolled contraction (balanced add tree): every term
         # reads bokeh_w at a CONSTANT plane and the input at a CONSTANT
@@ -178,13 +203,20 @@ def build(width: int = 192, height: int = 320, slices: int = 32,
         # pass of static slices -- an RDom form binds the plane index per
         # reduction point and degraded to per-point dynamic indexing
         # (measured 7.5 s/frame at 640x480 on v5e)
-        from functools import reduce
         terms = []
         for du in range(-max_blur, max_blur + 1):
             for dv in range(-max_blur, max_blur + 1):
                 kk = (du + max_blur) * K + (dv + max_blur)
+                rsq = du * du + dv * dv
+                xb = hl.clamp(x + du, 0, width - 1)
+                yb = hl.clamp(y + dv, 0, height - 1)
+                w_k = hl.select(
+                    hl.logical_and(
+                        hl.logical_or(rsq < bokeh_radius_sq[x, y],
+                                      depth[xb, yb] < depth[x, y]),
+                        rsq < bokeh_radius_sq[xb, yb]), 1.0, 0.0)
                 terms.append(
-                    bokeh_w[x, y, kk] * input_with_alpha[
+                    bokeh_w[x, y, kk] * w_k * input_with_alpha[
                         hl.clamp(x + du, -max_blur, width - 1 + max_blur),
                         hl.clamp(y + dv, -max_blur,
                                  height - 1 + max_blur), c])
