@@ -157,6 +157,20 @@ def build(width: int = 1536, height: int = 2560, s_sigma: int = 8,
     output = hl.Func("bgu_out")
     output[x, y, c] = hl.clamp(interpolated[x, y, c], 0.0, 1.0)
 
+    # Slice schedule (reference: apps/bgu/bgu_generator.cpp:495-575 tiles
+    # the full-res slice): one Pallas kernel per tile with the coarse
+    # `line` table staged in VMEM -- same structure as bilateral_grid's
+    # slice kernel. Opt-in via HALIDE_TPU_BGU_TILE=256x256 until measured.
+    import os
+    _tile = os.environ.get("HALIDE_TPU_BGU_TILE")
+    if _tile:
+        tx, ty = (int(v) for v in _tile.split("x"))
+        xo, yo = hl.Var("xo"), hl.Var("yo")
+        xin, yin = hl.Var("xin"), hl.Var("yin")
+        output.tile(x, y, xo, yo, xin, yin, tx, ty) \
+              .vectorize(xin).parallel(yo)
+        interpolated.compute_at(output, xo)
+
     def make_inputs(seed=0):
         rng = np.random.default_rng(seed)
         full = rng.random((3, height, width), np.float32)

@@ -31,7 +31,13 @@ def build(width: int = 2560, height: int = 1536) -> App:
     # over row-bands; narrower tiles engage double-buffered DMA but
     # full-width wins here).
     xo, yo, xi, yi = hl.Var("xo"), hl.Var("yo"), hl.Var("xi"), hl.Var("yi")
-    blur_y.tile(x, y, xo, yo, xi, yi, max(width - 2, 8), 128) \
+    import os
+    _tile = os.environ.get("HALIDE_TPU_BLUR_TILE")
+    if _tile:   # tile-shape A/B on hardware (tools/abtest.py)
+        tx_, ty_ = (int(v) for v in _tile.split("x"))
+    else:
+        tx_, ty_ = max(width - 2, 8), 128
+    blur_y.tile(x, y, xo, yo, xi, yi, tx_, ty_) \
           .vectorize(xi).parallel(yo)
     blur_x.compute_at(blur_y, xo)
 

@@ -827,16 +827,26 @@ def _traced_div_cancel(P, real: Realized, args, ctx: Ctx):
         if ax is None:
             return None
         npax = nd2 - 1 - j
-        if P2.shape[npax] * av.div > (1 << 24):
-            return None
         on_tpu = jax.default_backend() == "tpu"
         pd = getattr(real, "prediv", None)
+        pdj = pd.get(j) if pd is not None else None
+        # a PARTIALLY pre-expanded window (pallas_group sublane stride
+        # alignment, factor k) holds coords subsampled by d' = div/k;
+        # reading it at (i)//d' hits the same entry because floor
+        # divisions compose: (n//d')//k == n//(d'k). The remaining
+        # in-kernel repeat factor is d'.
+        eff_div = av.div
+        if pdj is not None and pdj != av.div and 1 < pdj < av.div \
+                and av.div % pdj == 0:
+            eff_div = av.div // pdj
+        if P2.shape[npax] * eff_div > (1 << 24):
+            return None
         if on_tpu and npax == nd2 - 1 and not (
-                pd is not None and pd.get(j) == av.div):
+                pd is not None and pdj == av.div):
             # Mosaic cannot interleave lanes in-kernel; lane div dims must
             # arrive pre-expanded (pallas_group host repad)
             return None
-        if pd is not None and pd.get(j) == av.div:
+        if pd is not None and pdj == av.div:
             # window pre-expanded host-side: already in pixel coords --
             # the read is affine as-is (valid for static or same-sym mins)
             if not (_is_static(wm) or (isinstance(wm, SymOff)
@@ -847,13 +857,15 @@ def _traced_div_cancel(P, real: Realized, args, ctx: Ctx):
         elif _is_static(ax.min) and _is_static(wm):
             # fully static dim (e.g. a full-width tile axis): the plain
             # repeat transform, independent of other dims' traced origins
-            P2 = _kernel_repeat(P2, av.div, npax, ctx)
-            mins2[j] = int(wm) * av.div
+            # (for a partially pre-expanded window eff_div completes the
+            # expansion to pixel coords: wm is in 1/eff_div coords)
+            P2 = _memo_repeat(P2, eff_div, npax, ctx)
+            mins2[j] = int(wm) * eff_div
         elif isinstance(ax.min, SymOff) and isinstance(wm, SymOff) \
-                and wm.sym == f"__div{av.div}_{ax.min.sym}":
+                and wm.sym == f"__div{eff_div}_{ax.min.sym}":
             s = ax.min.sym
-            P2 = _kernel_repeat(P2, av.div, npax, ctx)
-            mins2[j] = SymOff(s, wm.off * av.div)
+            P2 = _memo_repeat(P2, eff_div, npax, ctx)
+            mins2[j] = SymOff(s, wm.off * eff_div)
         else:
             return None
         base = AVal({av.var: 1}, av.const)

@@ -573,6 +573,38 @@ def try_pallas_group(f: Func, box: Box, ctx0: Ctx, graph, boxes):
             pre[0] = d0
             wmins[0] = SymOff(parent, wmins[0].off * d0)
             wext[0] = wext[0] * d0
+        # sublane-axis div-indexed windows whose per-tile stride is not a
+        # sublane multiple (e.g. bgu's coarse affine-model table under a
+        # 256-tile with cell size 64: stride 4 < sublane 8): PARTIALLY
+        # pre-expand the table k-fold on the host so the window rides the
+        # derived symbol tile//d' with an aligned stride; the in-kernel
+        # read at (i)//d' lands on the same entry because floor divisions
+        # compose ((n//d')//k == n//(d'k))
+        if len(wmins) > 1 and isinstance(wmins[1], SymOff) \
+                and wmins[1].sym in derived_syms:
+            base_ax, d0 = derived_syms[wmins[1].sym]
+            tsz = tx if base_ax == "x" else ty
+            if (tsz // d0) % sublane_mult != 0:
+                dprime = 1
+                for cand in range(d0 - 1, 1, -1):
+                    if d0 % cand == 0 and tsz % cand == 0 \
+                            and (tsz // cand) % sublane_mult == 0:
+                        dprime = cand
+                        break
+                if dprime == 1 and tsz % sublane_mult != 0:
+                    return _reject(
+                        f"window stride {tsz // d0} unaligned to "
+                        f"{sublane_mult} ({getattr(t, 'name', '?')})")
+                k2 = d0 // dprime
+                if dprime == 1:
+                    parent = "tile_x0" if base_ax == "x" else "tile_y0"
+                else:
+                    parent = f"__div{dprime}_tile_" \
+                        + ("x0" if base_ax == "x" else "y0")
+                    derived_syms[parent] = (base_ax, dprime)
+                pre[1] = k2
+                wmins[1] = SymOff(parent, wmins[1].off * k2)
+                wext[1] = wext[1] * k2
         # align window extents to the memref tiling (last dim: lane 128;
         # second-to-last: sublane, dtype-dependent)
         wal = list(wext)
