@@ -159,11 +159,14 @@ def build(width: int = 1536, height: int = 2560, s_sigma: int = 8,
 
     # Slice schedule (reference: apps/bgu/bgu_generator.cpp:495-575 tiles
     # the full-res slice): one Pallas kernel per tile with the coarse
-    # `line` table staged in VMEM -- same structure as bilateral_grid's
-    # slice kernel. Opt-in via HALIDE_TPU_BGU_TILE=256x256 until measured.
+    # `line` table staged in VMEM (partial sublane pre-expansion keeps the
+    # 64-pixel-cell window strides aligned) -- same structure as
+    # bilateral_grid's slice kernel. Measured v5e 1280x768: 2.17 ms fused
+    # XLA -> 1.79 ms through the kernel at 256x256 (pipelined DMA);
+    # 256x512 2.84, 512x256 2.71. Override/disable: HALIDE_TPU_BGU_TILE.
     import os
-    _tile = os.environ.get("HALIDE_TPU_BGU_TILE")
-    if _tile:
+    _tile = os.environ.get("HALIDE_TPU_BGU_TILE", "256x256")
+    if _tile and _tile != "0":
         tx, ty = (int(v) for v in _tile.split("x"))
         xo, yo = hl.Var("xo"), hl.Var("yo")
         xin, yin = hl.Var("xin"), hl.Var("yin")

@@ -883,6 +883,26 @@ def _traced_div_cancel(P, real: Realized, args, ctx: Ctx):
     return _affine_read(P2, stub, args2, ctx)
 
 
+def _prediv_eff(real: Realized, j: int, div: int) -> int:
+    """Remaining repeat factor for a div-indexed read of window dim j when
+    the window may have arrived pre-expanded host-side (pallas_group's
+    Realized.prediv, set for lane/sublane alignment): 1 when fully
+    pre-expanded (coords already pixel-granular), div/pdj when partially,
+    div when not pre-expanded. Static-origin reads MUST consult this --
+    re-expanding an already-expanded window reads garbage (the one-tile
+    grid folds every window origin static, so the traced-cancel path that
+    knows about prediv is never reached)."""
+    pd = getattr(real, "prediv", None)
+    pdj = pd.get(j) if pd is not None else None
+    if pdj is None or pdj <= 1:
+        return div
+    if pdj == div:
+        return 1
+    if pdj < div and div % pdj == 0:
+        return div // pdj
+    return div
+
+
 def _affine_read(P, real: Realized, args, ctx: Ctx):
     """Dispatch: single-var-per-dim -> slice; multi-var affine with small
     secondary extents -> unrolled shifted slices stacked along the secondary
@@ -899,24 +919,36 @@ def _affine_read(P, real: Realized, args, ctx: Ctx):
         args2 = []
         P2 = P
         changed = False
+        done_dims = set()
         for j, v in enumerate(args):
             if isinstance(v, ClampedAVal) and isinstance(v.aval, DivAVal) \
                     and _is_static(real.mins[j]):
                 dv = v.aval
                 npax = nd - 1 - j
-                if P2.shape[npax] * dv.div <= (1 << 26):
-                    P2 = _memo_repeat(P2, dv.div, npax, ctx)
-                    mins2[j] = int(real.mins[j]) * dv.div
+                eff = _prediv_eff(real, j, dv.div)
+                if P2.shape[npax] * eff <= (1 << 26):
+                    if eff > 1:
+                        P2 = _memo_repeat(P2, eff, npax, ctx)
+                    mins2[j] = int(real.mins[j]) * eff
+                    # clamp bounds are in ORIGINAL table units either way:
+                    # the final array is pixel-granular, so they scale by
+                    # the full div
                     lo = v.lo if v.lo == -math.inf else v.lo * dv.div
                     hi = v.hi if v.hi == math.inf \
                         else v.hi * dv.div + dv.div - 1
                     args2.append(ClampedAVal(AVal({dv.var: 1}, dv.const),
                                              lo, hi))
                     changed = True
+                    done_dims.add(j)
                     continue
             args2.append(v)
         if changed:
-            stub = Realized((P2,), mins2, real.name)
+            # keep prediv for dims NOT normalized here, so the recursive
+            # dispatch doesn't re-expand an already-expanded window
+            pd0 = getattr(real, "prediv", None)
+            rem = {j2: d2 for j2, d2 in (pd0 or {}).items()
+                   if j2 not in done_dims} or None
+            stub = Realized((P2,), mins2, real.name, prediv=rem)
             return _affine_read(P2, stub, args2, ctx)
     r = _split_read(P, real, args, ctx)
     if r is not None:
@@ -1060,8 +1092,10 @@ def _affine_read(P, real: Realized, args, ctx: Ctx):
         for j, v in enumerate(args):
             if isinstance(v, DivAVal):
                 npax = nd2 - 1 - j
-                P2 = _memo_repeat(P2, v.div, npax, ctx)
-                mins2[j] = real.mins[j] * v.div
+                eff = _prediv_eff(real, j, v.div)
+                if eff > 1:
+                    P2 = _memo_repeat(P2, eff, npax, ctx)
+                mins2[j] = real.mins[j] * eff
                 args2.append(AVal({v.var: 1}, v.const))
             else:
                 args2.append(v)

@@ -317,10 +317,149 @@ def _strip_boundary_clamps(expr, ext_boxes, engine):
     return mutate(expr, fn)
 
 
+_NONDIV_OK: Optional[bool] = None
+
+
+def _nondiv_out_ok(interpret: bool) -> bool:
+    """One-time probe: does the backend accept a kernel output whose dims
+    are not block multiples, with a grid covering only the full blocks?
+    That is the interior program of a partitioned (ShiftInwards-tail)
+    lowering. Probed eagerly like _repeat_kernel_ok because a backend
+    rejection at realize time is uncatchable."""
+    if interpret:
+        return True
+    global _NONDIV_OK
+    if _NONDIV_OK is not None:
+        return _NONDIV_OK
+    try:
+        import jax.experimental.pallas as pl
+
+        def k(o_ref):
+            o_ref[...] = jnp.ones((8, 128), jnp.float32)
+
+        call = pl.pallas_call(
+            k, grid=(2,),
+            out_specs=pl.BlockSpec((8, 128), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((20, 128), jnp.float32))
+        jax.jit(call).lower().compile()
+        _NONDIV_OK = True
+    except Exception:
+        if _os.environ.get("HT_DEBUG_PROBE"):
+            import traceback
+            traceback.print_exc()
+        _NONDIV_OK = False
+    return _NONDIV_OK
+
+
 def try_pallas_group(f: Func, box: Box, ctx0: Ctx, graph, boxes):
-    """Lower f (+ its compute_at producers) into one pallas_call.
+    """Lower f (+ its compute_at producers) to Pallas kernels.
+
+    When every tiled dim's extent is a tile multiple this is one
+    pallas_call. Otherwise, if the split's tail strategy permits, the
+    grid is PARTITIONED: an interior program over the floor tiles plus
+    edge-strip programs whose origins are shifted inward by one tile
+    (the reference's ShiftInwards tail + loop partitioning,
+    src/Schedule.h:35-139, src/PartitionLoops.cpp). Edge tiles recompute
+    the overlap band instead of the RoundUp lowering's input edge-pad and
+    output crop -- each of which is a full extra HBM pass per frame.
+    RoundUp/RoundUpAndBlend tails (and backends without non-divisible
+    output support) keep the pad+crop lowering.
 
     Returns a Realized or None (fall back to XLA)."""
+    r = _try_partitioned(f, box, ctx0, graph, boxes)
+    if r is not None:
+        return r
+    return _lower_group_single(f, box, ctx0, graph, boxes)
+
+
+def _try_partitioned(f: Func, box: Box, ctx0: Ctx, graph, boxes):
+    global _last_plan
+    from ..schedule import TailStrategy
+    if _os.environ.get("HALIDE_TPU_NO_PARTITION"):
+        return None
+    if len(f._defs) != 1 or len(f._defs[0].values) != 1:
+        return None
+    tile = find_tile(f)
+    if tile is None or not box.defined() or not box.bounded():
+        return None
+    xdim, tx, ydim, ty = tile
+    dims = [v.name for v in f._defs[0].args]
+    if xdim not in dims or (ydim is not None and ydim not in dims):
+        return None
+    xi = dims.index(xdim)
+    yi_ = dims.index(ydim) if ydim else None
+    mins = list(box.mins())
+    extents = list(box.extents())
+    n = len(dims)
+    rx = extents[xi] % tx
+    ry = extents[yi_] % ty if yi_ is not None else 0
+    if not rx and not ry:
+        return None
+    tails = {sp.old: sp.tail for sp in f._defs[0].schedule.splits
+             if sp.kind == "split"}
+    banned = (TailStrategy.RoundUp, TailStrategy.RoundUpAndBlend)
+    if rx and (extents[xi] <= tx or tails.get(xdim) in banned):
+        return None
+    if ry and (extents[yi_] <= ty or tails.get(ydim) in banned):
+        return None
+    if not _nondiv_out_ok(jax.default_backend() != "tpu"):
+        return None
+
+    gxf = extents[xi] // tx
+    gyf = extents[yi_] // ty if yi_ is not None else None
+    mx, ex = mins[xi], extents[xi]
+    my = mins[yi_] if yi_ is not None else 0
+    ey = extents[yi_] if yi_ is not None else 0
+    ix_e = gxf * tx
+    iy_e = gyf * ty if yi_ is not None else 0
+
+    def sub(x0, xe, y0=None, ye=None):
+        dims2 = list(box.dims)
+        dims2[xi] = Interval(x0, x0 + xe - 1)
+        if yi_ is not None:
+            dims2[yi_] = Interval(y0, y0 + ye - 1)
+        return Box(dims2)
+
+    gc = (gxf,) if yi_ is None else (gyf, gxf)
+    interior = _lower_group_single(f, box, ctx0, graph, boxes,
+                                   grid_counts=gc)
+    if interior is None:
+        return None
+    plan_int = dict(_last_plan) if _last_plan else {}
+
+    strip_boxes = []
+    if rx:
+        strip_boxes.append(sub(mx + ex - tx, tx, my, iy_e)
+                           if yi_ is not None
+                           else sub(mx + ex - tx, tx))
+    if ry:
+        strip_boxes.append(sub(mx, ix_e, my + ey - ty, ty))
+    if rx and ry:
+        strip_boxes.append(sub(mx + ex - tx, tx, my + ey - ty, ty))
+
+    big = interior.arrays[0]
+    for bx_s in strip_boxes:
+        rs = _lower_group_single(f, bx_s, ctx0, graph, boxes)
+        if rs is None:
+            return None
+        smins = bx_s.mins()
+        sext = bx_s.extents()
+        sl = tuple(slice(smins[i] - mins[i],
+                         smins[i] - mins[i] + sext[i])
+                   for i in reversed(range(n)))
+        big = big.at[sl].set(rs.arrays[0])
+    plan_int["parts"] = 1 + len(strip_boxes)
+    plan_int["tail"] = "shift_inwards"
+    _last_plan = plan_int
+    return Realized((big,), tuple(mins), f.name)
+
+
+def _lower_group_single(f: Func, box: Box, ctx0: Ctx, graph, boxes,
+                        grid_counts=None):
+    """One pallas_call over `box`. grid_counts (gy, gx)/(gx,) caps the
+    grid to cover only that many tiles of a LARGER output (the interior
+    program of a partitioned lowering: out_shape keeps the true extents,
+    trailing partial blocks are simply never written)."""
     try:
         import jax.experimental.pallas as pl
         from jax.experimental.pallas import tpu as pltpu
@@ -371,6 +510,12 @@ def try_pallas_group(f: Func, box: Box, ctx0: Ctx, graph, boxes):
     extents = box.extents()
     gx = _cdiv(extents[xi], tx)
     gy = _cdiv(extents[yi_], ty) if yi_ is not None else 1
+    if grid_counts is not None:
+        # interior program of a partitioned lowering: cover only the
+        # full tiles; the remainder is written by the edge strips
+        gx = grid_counts[-1]
+        if yi_ is not None:
+            gy = grid_counts[0]
     padded = list(extents)
     padded[xi] = gx * tx
     if yi_ is not None:
@@ -650,11 +795,29 @@ def try_pallas_group(f: Func, box: Box, ctx0: Ctx, graph, boxes):
             size = arr_eff.shape[i]
             pads[i] = (max(0, -int(lo)), max(0, int(hi) - (size - 1)))
             idx[i] = slice(max(0, int(lo)), min(size, int(hi) + 1))
-        sub = arr_eff[tuple(idx)]
+        # DMA bases stay (1,128)-tiling-aligned only if the cover origin
+        # sits at an aligned offset from the array origin on the minor
+        # two dims -- required to pass the array whole
+        base_aligned = all(
+            (cover_lo[j2] - eff_mins[j2])
+            % (128 if j2 == 0 else sublane_mult) == 0
+            for j2 in range(min(nd_t, 2)))
         if any(p2 != (0, 0) for p2 in pads):
+            sub = arr_eff[tuple(idx)]
             from ..eval_jnp import _edge_pad
             sub = _edge_pad(sub, pads)
-        ext_arrays.append((t, tuple(cover_lo), wmins, tuple(wal), sub, pre))
+            gmins_eff = tuple(cover_lo)
+        elif base_aligned:
+            # every tile's window is already in bounds: pass the array
+            # WHOLE (a bounding slice would materialize a copy of nearly
+            # the full input every frame; the DMA windows address HBM
+            # directly, so an oversized ref costs nothing)
+            sub = arr_eff
+            gmins_eff = tuple(eff_mins)
+        else:
+            sub = arr_eff[tuple(idx)]
+            gmins_eff = tuple(cover_lo)
+        ext_arrays.append((t, gmins_eff, wmins, tuple(wal), sub, pre))
 
     needs_kernel_repeat = any(
         isinstance(wm, SymOff) and wm.sym in derived_syms
@@ -719,7 +882,11 @@ def try_pallas_group(f: Func, box: Box, ctx0: Ctx, graph, boxes):
                   for (t, gmins, wmins, wext, a, p3) in ext_arrays]
 
     grid = (gy, gx) if yi_ is not None else (gx,)
-    out_shape_np = tuple(reversed(padded))
+    # interior programs keep the TRUE extents (trailing partial blocks
+    # exist but are never indexed by the capped grid); the plain path
+    # rounds up and the caller crops
+    out_shape_np = tuple(reversed(extents)) if grid_counts is not None \
+        else tuple(reversed(padded))
     blk = list(out_shape_np)
     np_x = n - 1 - xi
     blk[np_x] = tx

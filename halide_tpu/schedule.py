@@ -33,14 +33,24 @@ class ForType(enum.Enum):
 
 class TailStrategy(enum.Enum):
     """(reference: src/Schedule.h:35-139). What the TPU lowering ACTUALLY
-    does: every strategy lowers as RoundUp -- grid padded to a tile
-    multiple, inputs edge-replicated, output host-cropped. This is
-    value-identical to the reference for everything the kernel path
-    accepts (pure consumers, and per-tile member updates whose padded
-    region never escapes the crop), so GuardWithIf / ShiftInwards /
-    Predicate* are accepted for schedule portability and resolve to the
-    same lowering; they differ from RoundUp only in over-compute here,
-    never in values. No strategy-specific masking is generated."""
+    does, two lowerings:
+
+    - RoundUp / RoundUpAndBlend: grid padded to a tile multiple, inputs
+      edge-replicated, output host-cropped.
+    - Auto / ShiftInwards / GuardWithIf / Predicate*: when the extent is
+      not a tile multiple (and exceeds one tile), the grid is PARTITIONED
+      (ops/pallas_group._try_partitioned): an interior program over the
+      floor tiles plus edge-strip programs whose origins are shifted
+      inward by one tile -- the reference's ShiftInwards + loop
+      partitioning (src/PartitionLoops.cpp). Edge tiles recompute the
+      overlap band instead of padding inputs and cropping outputs. For
+      the pure single-definition consumers the kernel path accepts this
+      is value-identical to GuardWithIf masking (no side effects to
+      observe), which is why those strategies share the lowering; no
+      per-element @pl.when masking is generated. Where partitioning does
+      not apply (tile >= extent, or backends without non-divisible
+      output-block support) these fall back to the RoundUp lowering,
+      which is value-identical for everything the kernel path accepts."""
     Auto = "auto"
     RoundUp = "round_up"
     GuardWithIf = "guard_with_if"

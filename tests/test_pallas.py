@@ -206,6 +206,86 @@ def test_stencil_chain_grouped_kernels_engage():
                              stencils=12, _env={"HALIDE_TPU_SC_KERNEL": "1"})
 
 
+def test_single_tile_div_window_prediv():
+    # regression: a div-indexed coarse-table read whose grid folds to ONE
+    # program (tile >= extent) folds every window origin static, so reads
+    # dispatch through _affine_read's static div branch -- which must
+    # honor Realized.prediv (the window arrives host-pre-expanded for
+    # lane/sublane alignment). Re-expanding it read garbage: row 0
+    # collapsed to table entry 0 (75-94% bad pixels).
+    from halide_tpu.ops import pallas_group as pg
+    W = H = 64
+    cell = 16
+    rng = np.random.default_rng(7)
+    for case in ("xdiv", "ydiv", "both"):
+        x, y = hl.Var("x"), hl.Var("y")
+        if case == "xdiv":
+            tabn = rng.standard_normal((H, W // cell + 2)).astype(np.float32)
+            gold = tabn[np.arange(H)[:, None], (np.arange(W) // cell)[None]]
+        elif case == "ydiv":
+            tabn = rng.standard_normal((H // cell + 2, W)).astype(np.float32)
+            gold = tabn[(np.arange(H) // cell)[:, None], np.arange(W)[None]]
+        else:
+            tabn = rng.standard_normal(
+                (H // cell + 2, W // cell + 2)).astype(np.float32)
+            gold = tabn[(np.arange(H) // cell)[:, None],
+                        (np.arange(W) // cell)[None]]
+        tb = hl.Buffer(tabn)
+        t = hl.Func(f"t_{case}")
+        t[x, y] = tb[hl.clamp(x, 0, tabn.shape[1] - 1),
+                     hl.clamp(y, 0, tabn.shape[0] - 1)]
+        t.compute_root()
+        out = hl.Func(f"out_{case}")
+        if case == "xdiv":
+            out[x, y] = t[x / cell, y]
+        elif case == "ydiv":
+            out[x, y] = t[x, y / cell]
+        else:
+            out[x, y] = t[x / cell, y / cell]
+        xo, yo, xin, yin = (hl.Var(n) for n in ("xo", "yo", "xin", "yin"))
+        out.tile(x, y, xo, yo, xin, yin, W, H).vectorize(xin).parallel(yo)
+        pg._last_plan = None
+        o = out.realize([W, H], jit=False).to_numpy()
+        assert pg._last_plan is not None and \
+            pg._last_plan["grid"] == (1, 1), pg._last_reject
+        np.testing.assert_array_equal(o, gold, err_msg=case)
+
+
+def test_partitioned_tail_shift_inwards():
+    # a non-multiple extent through a tiled schedule lowers as interior
+    # floor-tiles + shifted edge strips (no RoundUp over-compute: the
+    # output is written exactly, edge tiles recompute the overlap band)
+    from halide_tpu.ops import pallas_group as pg
+    W, H = 200, 100        # 64x16 tiles: 200%64=8, 100%16=4 -> x+y strips
+    by, ref = _blur_pipeline(W, H, schedule=True)
+    pg._last_plan = None
+    out = by.realize([W - 2, H - 2], jit=False).to_numpy()
+    np.testing.assert_array_equal(out, ref)
+    assert pg._last_plan is not None
+    assert pg._last_plan.get("tail") == "shift_inwards", pg._last_plan
+    assert pg._last_plan.get("parts") == 4, pg._last_plan  # int + x + y + corner
+
+
+def test_partitioned_tail_round_up_opt_out():
+    # an explicit RoundUp tail keeps the pad+crop lowering
+    from halide_tpu.ops import pallas_group as pg
+    W, H = 200, 100
+    x, y = hl.Var("x"), hl.Var("y")
+    xo, yo, xi, yi = hl.Var("xo"), hl.Var("yo"), hl.Var("xi"), hl.Var("yi")
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 1 << 14, (H, W), np.uint16)
+    inp = hl.Buffer(img)
+    f = hl.Func("ru_f")
+    f[x, y] = inp[x, y] * 2
+    f.tile(x, y, xo, yo, xi, yi, 64, 16,
+           tail=hl.TailStrategy.RoundUp).vectorize(xi).parallel(yo)
+    pg._last_plan = None
+    out = f.realize([W, H], jit=False).to_numpy()
+    np.testing.assert_array_equal(out, img.astype(np.uint16) * 2)
+    assert pg._last_plan is not None
+    assert "tail" not in pg._last_plan, pg._last_plan
+
+
 def test_nl_means_boxsum_kernel_engages():
     # the three 4-D stages (d, blur_d_y, blur_d) fuse into one kernel per
     # (x, y) tile with the intermediates VMEM-resident
