@@ -34,7 +34,7 @@ import numpy as np
 from .. import expr as E
 from ..bounds import BoundsEngine, Box, Interval
 from ..eval_jnp import (Axis, Ctx, PallasUnsupported, Realized, RefRealized,
-                        SymOff, eval_array, full_shape)
+                        SymOff, eval_array, full_shape, off_add)
 from ..func import Func
 from ..schedule import ForType
 from ..visitors import walk
@@ -951,11 +951,89 @@ def _lower_group_single(f: Func, box: Box, ctx0: Ctx, graph, boxes,
     pipelined = pipeline_capable and not interpret \
         and not _os.environ.get("HALIDE_TPU_NO_PIPELINE")
     n_buf = 2 if pipelined else 1
+    # --- sliding-window member carry ------------------------------------
+    # (reference: src/SlidingWindow.cpp:347-453) a producer stored at a
+    # loop ENCLOSING its compute loop (store_at(f, outer) / store_root)
+    # skips recomputation along the inner grid dim: its VMEM scratch
+    # persists across the inner (sequential) grid steps, warm-up computes
+    # the full footprint at step 0, steady state shifts by the tile
+    # stride and computes only the NEW band. Legality is the exact
+    # shift-covariance the footprint probes establish (the reference's
+    # monotonic-min/max condition, SlidingWindow.cpp:347-356).
+    sliding: Dict[int, Dict] = {}
+    if inner_steps > 1 and semantics[-1] == "arbitrary" \
+            and not _os.environ.get("HALIDE_TPU_NO_SLIDING"):
+        order = [d.var for d in s0.dims]
+        xo_name = outer_of.get(xdim)
+        _dbg = _os.environ.get("HT_DEBUG_SLIDE")
+        for m in members:
+            if _dbg:
+                print(f"SLIDE? {m.name}: defs={len(m._defs)} "
+                      f"store={m._fschedule.store_level!r} "
+                      f"order={order} xo={xo_name}", flush=True)
+            if len(m._defs) != 1 or len(m._defs[0].values) != 1:
+                continue
+            slv = m._fschedule.store_level
+            if not slv.defined() or slv.is_inlined():
+                continue
+            if slv.is_root():
+                pass    # storage outlives the loop: sliding along the
+                        # inner dim within each outer step under-approximates
+            else:
+                var_name = getattr(slv.var, "name", slv.var)
+                if not (slv.func is f and xo_name is not None
+                        and var_name in order and xo_name in order
+                        and order.index(var_name) > order.index(xo_name)):
+                    continue
+            bt_m = fp_t.boxes.get(id(m))
+            bsx_m = fp_sx.boxes.get(id(m))
+            if bt_m is None or bsx_m is None or not bt_m.bounded():
+                if _dbg:
+                    print(f"SLIDE {m.name}: no boxes {bt_m} {bsx_m}",
+                          flush=True)
+                continue
+            margs = [v.name for v in m._defs[0].args]
+            if xdim not in margs:
+                continue
+            jx_m = margs.index(xdim)
+            extx = int(bt_m.dims[jx_m].extent())
+            if (int(bsx_m.dims[jx_m].lo - bt_m.dims[jx_m].lo) != tx
+                    or int(bsx_m.dims[jx_m].extent()) != extx
+                    or extx - tx <= 0):
+                if _dbg:
+                    print(f"SLIDE {m.name}: x gate shift="
+                          f"{bsx_m.dims[jx_m].lo - bt_m.dims[jx_m].lo} "
+                          f"tx={tx} extx={extx} "
+                          f"sx_ext={bsx_m.dims[jx_m].extent()}", flush=True)
+                continue
+            ok2 = True
+            for j2 in range(len(margs)):
+                if j2 == jx_m:
+                    continue
+                if (bsx_m.dims[j2].lo != bt_m.dims[j2].lo
+                        or bsx_m.dims[j2].extent() != bt_m.dims[j2].extent()):
+                    ok2 = False
+                    break
+            if not ok2:
+                continue
+            sz2 = 1
+            for e2 in bt_m.extents():
+                sz2 *= int(e2)
+            extra = sz2 * np.dtype(
+                m._defs[0].values[0].dtype.to_np()).itemsize
+            if total + extra * 2 > _VMEM_BUDGET:
+                continue
+            total += extra * 2
+            sliding[id(m)] = {"jx": jx_m, "overlap": extx - tx,
+                              "ext": [int(e2) for e2 in bt_m.extents()]}
+
     global _last_plan
     _last_plan = {"grid": grid, "semantics": tuple(semantics),
                   "pipeline_capable": pipeline_capable,
                   "pipelined": pipelined, "n_buf": n_buf,
-                  "async_requested": async_requested}
+                  "async_requested": async_requested,
+                  "sliding": sorted(m.name for m in members
+                                    if id(m) in sliding)}
 
     # per-buffer scratch refs (separate entries: Mosaic loads/DMA want
     # static buffer selection, steered by step-parity pl.when branches)
@@ -964,6 +1042,11 @@ def _lower_group_single(f: Func, box: Box, ctx0: Ctx, graph, boxes,
         for _b in range(n_buf):
             scratch_shapes.append(
                 pltpu.VMEM(tuple(reversed(wext)), a2.dtype))
+    slide_order = [m for m in members if id(m) in sliding]
+    for m in slide_order:
+        scratch_shapes.append(pltpu.VMEM(
+            tuple(reversed(sliding[id(m)]["ext"])),
+            np.dtype(m._defs[0].values[0].dtype.to_np())))
     scratch_shapes.append(
         pltpu.SemaphoreType.DMA((n_buf, max(1, len(ext_arrays)))))
 
@@ -973,6 +1056,8 @@ def _lower_group_single(f: Func, box: Box, ctx0: Ctx, graph, boxes,
         flat_scr = refs[len(ext_arrays) + 1:-1]
         scratches = [flat_scr[k * n_buf:(k + 1) * n_buf]
                      for k in range(len(ext_arrays))]
+        slide_scr = {id(m): flat_scr[len(ext_arrays) * n_buf + k]
+                     for k, m in enumerate(slide_order)}
         sems = refs[-1]
         # size-1 grid dims fold to a static 0 so window bases stay static
         if yi_ is not None:
@@ -1094,6 +1179,49 @@ def _lower_group_single(f: Func, box: Box, ctx0: Ctx, graph, boxes,
                         if gy > 1 else mins[yi_] + rel_mins[i2]
             cctx = make_ctx(m, abs_mins, rel_ext)
             mshape = full_shape(cctx, list(cctx.axes.values()))
+            if id(m) in sliding:
+                # sliding-window carry: warm-up computes the full
+                # footprint at the inner step 0; steady state shifts the
+                # persistent scratch by the tile stride and computes only
+                # the NEW band (reference: SlidingWindow.cpp:395-453
+                # warm-up + steady-state loop-min adjustment)
+                info = sliding[id(m)]
+                scr = slide_scr[id(m)]
+                jx_m = info["jx"]
+                extx_m = info["ext"][jx_m]
+                npx_m = len(mshape) - 1 - jx_m
+                vt = m._defs[0].values[0]
+                step_in = ix            # inner grid dim is always x
+
+                @pl.when(step_in == 0)
+                def _slide_warm(m=m, scr=scr, cctx=cctx, mshape=mshape,
+                                vt=vt):
+                    val = eval_array(svals[id(m)][0][0], cctx)
+                    scr[...] = _kcast(jnp.broadcast_to(val, mshape),
+                                      vt.dtype.to_np())
+
+                band_mins = list(abs_mins)
+                band_mins[jx_m] = off_add(abs_mins[jx_m], extx_m - tx)
+                band_ext = list(rel_ext)
+                band_ext[jx_m] = tx
+                bctx = make_ctx(m, band_mins, band_ext)
+                bshape = full_shape(bctx, list(bctx.axes.values()))
+
+                @pl.when(step_in > 0)
+                def _slide_steady(m=m, scr=scr, bctx=bctx, bshape=bshape,
+                                  vt=vt, npx_m=npx_m):
+                    old = scr[...]
+                    bval = eval_array(svals[id(m)][0][0], bctx)
+                    bval = _kcast(jnp.broadcast_to(bval, bshape),
+                                  vt.dtype.to_np())
+                    kept = jax.lax.slice_in_dim(old, tx, extx_m,
+                                                axis=npx_m)
+                    scr[...] = jnp.concatenate([kept, bval], axis=npx_m)
+
+                current = [scr[...]]
+                realz[id(m)] = Realized(tuple(current), tuple(abs_mins),
+                                        m.name)
+                continue
             current = []
             for vi, sv in enumerate(svals[id(m)][0]):
                 vt = m._defs[0].values[vi]

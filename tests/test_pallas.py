@@ -286,6 +286,59 @@ def test_partitioned_tail_round_up_opt_out():
     assert "tail" not in pg._last_plan, pg._last_plan
 
 
+def test_store_at_sliding_window_carry():
+    # store_at(consumer, outer) + compute_at(consumer, inner): the
+    # producer's VMEM scratch persists across inner grid steps -- warm-up
+    # computes the full footprint at step 0, steady state shifts by the
+    # tile stride and computes only the new band (the reference's
+    # SlidingWindow.cpp:347-453). Values must be identical to the
+    # recompute-everything lowering, and the plan must record the carry.
+    from halide_tpu.ops import pallas_group as pg
+    W, H = 256, 64       # 64x16 tiles -> inner x grid of 4 steps
+    x, y = hl.Var("x"), hl.Var("y")
+    xo, yo, xi, yi = hl.Var("xo"), hl.Var("yo"), hl.Var("xi"), hl.Var("yi")
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 1 << 14, (H, W), np.uint16)
+    inp = hl.Buffer(img)
+    bx, by = hl.Func("sw_bx"), hl.Func("sw_by")
+    # member = vertical blur, consumer = horizontal: the consumer's x
+    # stencil gives the member an x overlap (tx+2 footprint) to carry
+    bx[x, y] = (inp[x, y] + inp[x, y + 1] + inp[x, y + 2]) / 3
+    by[x, y] = (bx[x, y] + bx[x + 1, y] + bx[x + 2, y]) / 3
+    by.tile(x, y, xo, yo, xi, yi, 64, 16).vectorize(xi).parallel(yo)
+    bx.compute_at(by, xo).store_at(by, yo)
+    pg._last_plan = None
+    out = by.realize([W - 2, H - 2], jit=False).to_numpy()
+    ref = (img[:-2].astype(np.uint16) + img[1:-1] + img[2:]) // 3
+    ref = (ref[:, :-2] + ref[:, 1:-1] + ref[:, 2:]) // 3
+    np.testing.assert_array_equal(out, ref)
+    assert pg._last_plan is not None
+    assert pg._last_plan.get("sliding") == ["sw_bx"], pg._last_plan
+
+
+def test_store_at_inner_level_no_carry():
+    # store_at the COMPUTE level (no enclosing storage) must not carry
+    from halide_tpu.ops import pallas_group as pg
+    W, H = 256, 64
+    x, y = hl.Var("x"), hl.Var("y")
+    xo, yo, xi, yi = hl.Var("xo"), hl.Var("yo"), hl.Var("xi"), hl.Var("yi")
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 1 << 14, (H, W), np.uint16)
+    inp = hl.Buffer(img)
+    bx, by = hl.Func("swn_bx"), hl.Func("swn_by")
+    bx[x, y] = (inp[x, y] + inp[x + 1, y] + inp[x + 2, y]) / 3
+    by[x, y] = (bx[x, y] + bx[x, y + 1] + bx[x, y + 2]) / 3
+    by.tile(x, y, xo, yo, xi, yi, 64, 16).vectorize(xi).parallel(yo)
+    bx.compute_at(by, xo).store_at(by, xo)
+    pg._last_plan = None
+    out = by.realize([W - 2, H - 2], jit=False).to_numpy()
+    ref = (img[:, :-2].astype(np.uint16) + img[:, 1:-1] + img[:, 2:]) // 3
+    ref = (ref[:-2] + ref[1:-1] + ref[2:]) // 3
+    np.testing.assert_array_equal(out, ref)
+    assert pg._last_plan is not None
+    assert pg._last_plan.get("sliding") == [], pg._last_plan
+
+
 def test_nl_means_boxsum_kernel_engages():
     # the three 4-D stages (d, blur_d_y, blur_d) fuse into one kernel per
     # (x, y) tile with the intermediates VMEM-resident
