@@ -88,6 +88,10 @@ class _Analysis:
             bp.run(pipeline.outputs, est_regions)
         except CompileError:
             bp = None
+        # inferred whole-image boxes (stencil halos are size-independent,
+        # so producer_extent - output_extent is also the per-tile halo):
+        # the tile-shape search reads these
+        self.boxes = bp.boxes if bp is not None else {}
         self.points: Dict[int, float] = {}
         self.bytes: Dict[int, float] = {}
         for f in self.funcs:
@@ -325,6 +329,42 @@ def _beam(an: _Analysis, width: int = 8) -> Set[int]:
 
 
 # ---------------------------------------------------------------------------
+# tile-shape search
+# ---------------------------------------------------------------------------
+
+def _pick_tile(W, H, itemsize, resident, hx, hy):
+    """argmin over a lane-aligned tile menu of an analytical per-byte
+    overhead model; see the call site for the term provenance. Returns
+    (tx, ty)."""
+    best = None
+    txs = sorted({min(t, W) for t in (128, 256, 512, 1024, 2048, W)
+                  if min(t, W) >= min(128, W)})
+    tys = [t for t in (8, 16, 32, 64, 128, 256) if t <= max(8, H)]
+    for tx in txs:
+        for ty in tys:
+            vmem = (tx + hx) * (ty + hy) * itemsize * resident
+            if vmem > _VMEM_BUDGET:
+                continue
+            # halo overcompute: fraction of extra points per tile
+            over = ((tx + hx) * (ty + hy)) / float(tx * ty)
+            # DMA row efficiency: window rows shorter than ~1KiB leave
+            # the DMA engine latency-bound
+            row_bytes = (tx + hx) * itemsize
+            dma = 1.0 if row_bytes >= 1024 else 1.0 + \
+                0.5 * (1024.0 - row_bytes) / 1024.0
+            # megacore: need >=2 row bands to split across cores
+            mega = 1.3 if -(-H // ty) < 2 else 1.0
+            c = over * dma * mega
+            # prefer larger tiles at equal cost (fewer grid steps)
+            key = (c, -(tx * ty))
+            if best is None or key < best[0]:
+                best = (key, (tx, ty))
+    if best is None:        # nothing fit: smallest legal tile
+        return min(128, W), 8
+    return best[1]
+
+
+# ---------------------------------------------------------------------------
 # schedule emission
 # ---------------------------------------------------------------------------
 
@@ -367,16 +407,29 @@ def _apply(pipeline, an: _Analysis, mat: Set[int], params) -> dict:
             cand.append(p)
         if not cand:
             continue
-        # full-width row bands -- the hand-validated v5e shape (blur:
-        # 0.081ms fused-XLA -> 0.048ms as a full-width-band kernel; a
-        # square 256x128 auto tile measured SLOWER than fused XLA on
-        # harris). Band height from the VMEM budget over the group's
-        # resident members.
-        tx = int(ext[0]) if ext is not None else 2048
-        ty = 128
+        # tile-shape SEARCH over an analytical model (reference: the
+        # adams2019 beam searches tile sizes against its cost model,
+        # AutoSchedule.cpp:653; here the model terms are the ones v5e
+        # measurably charges for): halo overcompute, DMA row length
+        # (lane-contiguous bytes per window row; short rows starve the
+        # DMA engine), a megacore term (>=2 row bands to core-split),
+        # all under the VMEM residency budget. Full-width bands emerge
+        # as the winner for pure stencils (x halo overcompute = 0,
+        # maximal rows -- matching the hand-validated blur result of
+        # 0.081ms fused-XLA -> 0.048ms full-width-band kernel, where a
+        # square 256x128 tile measured SLOWER than fused XLA on harris);
+        # wide-halo or many-member groups shrink until they fit.
+        W_e, H_e = int(ext[0]), int(ext[1])
+        hx = hy = 0
+        for p in cand:
+            pb = an.boxes.get(id(p))
+            if pb is not None and pb.defined() and pb.bounded():
+                pext = [int(e2) for e2 in pb.extents()]
+                if len(pext) >= 2:
+                    hx = max(hx, max(0, pext[0] - W_e))
+                    hy = max(hy, max(0, pext[1] - H_e))
         resident = max(2, len(cand) + 2)
-        while tx * ty * itemsize * resident > _VMEM_BUDGET and ty > 8:
-            ty //= 2
+        tx, ty = _pick_tile(W_e, H_e, itemsize, resident, hx, hy)
         xo, yo, xi, yi = (Var(f"{v}_as") for v in ("xo", "yo", "xi", "yi"))
         out.tile(x, y, xo, yo, xi, yi, tx, ty)
         out.vectorize(xi)
