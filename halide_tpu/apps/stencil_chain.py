@@ -57,8 +57,16 @@ def build(width: int = 1536, height: int = 2560, stencils: int = 32) -> App:
     # apps/stencil_chain/stencil_chain_generator.cpp:53-106.)
     import os
     group = 8
-    if os.environ.get("HALIDE_TPU_SC_KERNEL") \
+    # HALIDE_TPU_SC_SLIDE=<tx>: narrower tiles + store_at(anchor, yo) so
+    # the member stages' VMEM windows CARRY across the inner x steps
+    # (sliding-window reuse, reference SlidingWindow.cpp) instead of
+    # recomputing the accumulated x halos (stage m under anchor s has a
+    # 4*(s-m)-column overlap) -- the hardware A/B for the carry
+    _slide = os.environ.get("HALIDE_TPU_SC_SLIDE")
+    if (os.environ.get("HALIDE_TPU_SC_KERNEL") or _slide) \
             and height % 128 == 0 and width >= 128:
+        sc_tx = int(_slide) if _slide and _slide != "1" else (
+            512 if _slide else width)
         anchors = [s for s in range(stencils)
                    if (s + 1) % group == 0 or s == stencils - 1]
         prev_a = -1
@@ -66,12 +74,17 @@ def build(width: int = 1536, height: int = 2560, stencils: int = 32) -> App:
             f = stages[1 + s_idx]
             xo, yo, xi2, yi2 = (hl.Var(f"xo{ai}"), hl.Var(f"yo{ai}"),
                                 hl.Var(f"xi{ai}"), hl.Var(f"yi{ai}"))
-            f.tile(x, y, xo, yo, xi2, yi2, width, 128) \
+            f.tile(x, y, xo, yo, xi2, yi2, min(sc_tx, width), 128) \
              .vectorize(xi2).parallel(yo)
             for m in range(prev_a + 1, s_idx):
                 stages[1 + m].compute_at(f, xo)
                 rows[m].compute_at(f, xo)
+                if _slide:
+                    stages[1 + m].store_at(f, yo)
+                    rows[m].store_at(f, yo)
             rows[s_idx].compute_at(f, xo)
+            if _slide:
+                rows[s_idx].store_at(f, yo)
             prev_a = s_idx
 
     def make_inputs(seed=0):
