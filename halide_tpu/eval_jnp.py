@@ -1471,6 +1471,13 @@ def _batched_onehot_read(P, real: Realized, args, j, ctx: Ctx):
             # d/128 lane utilization and the merge reshape relayouts; the
             # lane-axis div goes through the memoized producer repeat instead
             continue
+        pd = getattr(real, "prediv", None)
+        if pd is not None and pd.get(j2):
+            # window arrived host-pre-expanded (pixel-granular coords):
+            # coarse xo reads would be off by the expansion factor; leave
+            # the dim DivAVal so the recursive dispatch applies its
+            # prediv-aware repeat instead
+            continue
         d = av.div
         prev = splits.get(av.var)
         if prev is not None and prev[0] != d:
@@ -1756,9 +1763,24 @@ def _onehot_lut_read1(P, real: Realized, args, j, ctx: Ctx):
 
 def _gather_read(P, real: Realized, args, ctx: Ctx):
     nd = P.ndim
+    pd = getattr(real, "prediv", None)
     idxs = []
     for j, v in enumerate(args):
-        arr = materialize(v, ctx)
+        av = v.aval if isinstance(v, ClampedAVal) else v
+        if pd is not None and pd.get(j) and isinstance(av, DivAVal):
+            # window arrived host-pre-expanded pdj-fold: its entries are
+            # at 1/pdj of the original table granularity, so the gather
+            # index is (x+c)//(div/pdj), not (x+c)//div
+            pdj = pd[j]
+            eff = _prediv_eff(real, j, av.div)
+            base = materialize(AVal({av.var: 1}, av.const), ctx)
+            arr = base // eff if eff > 1 else base
+            if isinstance(v, ClampedAVal):
+                lo = None if v.lo == -math.inf else v.lo * pdj
+                hi = None if v.hi == math.inf else v.hi * pdj + pdj - 1
+                arr = jnp.clip(arr, lo, hi)
+        else:
+            arr = materialize(v, ctx)
         arr = arr - real.mins[j]
         size = P.shape[nd - 1 - j]
         arr = jnp.clip(arr, 0, size - 1)   # ClampUnsafeAccesses analog
