@@ -624,7 +624,26 @@ class Pipeline:
         return presets
 
     def realize(self, sizes=None, target=None, dst=None, jit: bool = True,
-                device=None, mesh=None):
+                device=None, mesh=None, custom_print=None,
+                custom_error=None):
+        """custom_print / custom_error: PER-CALL handler overrides --
+        installed for this realization only and restored on exit (the
+        reference's JITUserContext handler table,
+        src/runtime/HalideRuntime.h:178-196, installed per call at
+        Pipeline.cpp:818)."""
+        if custom_print is not None or custom_error is not None:
+            from . import hooks
+            prev_p = hooks.set_custom_print(custom_print) \
+                if custom_print is not None else None
+            prev_e = hooks.set_error_handler(custom_error) \
+                if custom_error is not None else None
+            try:
+                return self.realize(sizes, target, dst, jit, device, mesh)
+            finally:
+                if custom_print is not None:
+                    hooks.set_custom_print(prev_p)
+                if custom_error is not None:
+                    hooks.set_error_handler(prev_e)
         from .target import Target, get_jit_target_from_environment
         if target is None:
             target = get_jit_target_from_environment()

@@ -147,6 +147,32 @@ def test_custom_print_handler():
     assert "0, 2, 4, 6" in msgs[0]
 
 
+def test_per_call_print_handler():
+    # realize(custom_print=...) installs the handler for ONE call and
+    # restores the previous table on exit (the reference's per-call
+    # JITUserContext overrides, Pipeline.cpp:818)
+    import halide_tpu as hl
+
+    msgs = []
+    x = hl.Var("x")
+    f = hl.Func("pc_f")
+    f[x] = hl.print_expr(x + 1, "inc")
+    p = hl.Pipeline(f)
+    out = p.realize([4], custom_print=msgs.append).to_numpy()
+    np.testing.assert_array_equal(out, [1, 2, 3, 4])
+    assert msgs and "inc" in msgs[0]
+    # the process-level default (stdout) is restored: a second realize
+    # must NOT append to msgs
+    n = len(msgs)
+    import contextlib
+    import io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        p.realize([4])
+    assert len(msgs) == n
+    assert "inc" in buf.getvalue()
+
+
 def test_require_routes_error_handler():
     import halide_tpu as hl
 
