@@ -516,6 +516,34 @@ def _lower_group_single(f: Func, box: Box, ctx0: Ctx, graph, boxes,
         gx = grid_counts[-1]
         if yi_ is not None:
             gy = grid_counts[0]
+
+    # band split: a full-width schedule (gx == 1) with parallel() row
+    # bands runs grid (gy, 1) -- the inner dim never iterates, so the
+    # double-buffered DMA (keyed to the inner SEQUENTIAL dim) can never
+    # hide the band loads behind compute. Remap to (2, gy/2): the outer
+    # dim still core-splits on megacore, and each core walks its bands
+    # sequentially with the next band's DMA in flight (the reference's
+    # async() producer thread, src/AsyncProducers.cpp, applied to the
+    # consumer's own input loads).
+    s0 = f._defs[0].schedule
+    outer_of = {}
+    for sp in s0.splits:
+        if sp.kind == "split":
+            outer_of[sp.old] = sp.outer
+    par_names = {d.var for d in s0.dims if d.for_type == ForType.PARALLEL}
+
+    def dim_semantic(dim_name):
+        return "parallel" if outer_of.get(dim_name) in par_names \
+            else "arbitrary"
+
+    band_split = (
+        gx == 1 and yi_ is not None and gy >= 4
+        and grid_counts is None
+        and dim_semantic(ydim) == "parallel"
+        and dim_semantic(xdim) == "arbitrary"
+        and not _os.environ.get("HALIDE_TPU_NO_BANDSPLIT"))
+    if band_split:
+        gy = gy + (gy & 1)          # even band count: 2 equal core halves
     padded = list(extents)
     padded[xi] = gx * tx
     if yi_ is not None:
@@ -893,12 +921,19 @@ def _lower_group_single(f: Func, box: Box, ctx0: Ctx, graph, boxes,
     if yi_ is not None:
         blk[n - 1 - yi_] = ty
 
+    n_inner = grid[-1] if not band_split else gy // 2
+    if band_split:
+        grid = (2, gy // 2)
+
     def out_index(*pids):
         # untiled dims get a CONSTANT block index; it must be i32 -- with
         # jax_enable_x64 on, a bare Python 0 traces as an i64 scalar and
         # Mosaic fails to legalize the index map's func.return
         idx2 = [jnp.int32(0)] * n
-        if yi_ is not None:
+        if band_split:
+            oy, ii = pids
+            idx2[n - 1 - yi_] = oy * n_inner + ii
+        elif yi_ is not None:
             iy, ix = pids
             idx2[np_x] = ix
             idx2[n - 1 - yi_] = iy
@@ -913,19 +948,11 @@ def _lower_group_single(f: Func, box: Box, ctx0: Ctx, graph, boxes,
     # input DMA across steps (reference: src/AsyncProducers.cpp,
     # lesson_24_async -- overlap the next tile's loads with this tile's
     # compute). Warm-up runs at step 0 of EVERY outer iteration, so outer
-    # parallel splitting stays correct.
-    s0 = f._defs[0].schedule
-    outer_of = {}
-    for sp in s0.splits:
-        if sp.kind == "split":
-            outer_of[sp.old] = sp.outer
-    par_names = {d.var for d in s0.dims if d.for_type == ForType.PARALLEL}
-
-    def dim_semantic(dim_name):
-        return "parallel" if outer_of.get(dim_name) in par_names \
-            else "arbitrary"
-
-    if yi_ is not None:
+    # parallel splitting stays correct. (s0/outer_of/par_names/
+    # dim_semantic computed above, with the band-split decision.)
+    if band_split:
+        semantics = ["parallel", "arbitrary"]
+    elif yi_ is not None:
         semantics = [dim_semantic(ydim), dim_semantic(xdim)]
     else:
         semantics = [dim_semantic(xdim)]
@@ -947,8 +974,12 @@ def _lower_group_single(f: Func, box: Box, ctx0: Ctx, graph, boxes,
         for m in members) or f._fschedule.is_async \
         or bool(f._fschedule.ring_buffer_extent)
     # interpret mode has no DMA engine to overlap; run single-buffered
-    # (HALIDE_TPU_NO_PIPELINE: A/B the double-buffer on hardware)
-    pipelined = pipeline_capable and not interpret \
+    # (HALIDE_TPU_NO_PIPELINE: A/B the double-buffer on hardware;
+    # HALIDE_TPU_FORCE_PIPELINE: exercise the parity-DMA machinery under
+    # interpret for CI correctness coverage)
+    pipelined = pipeline_capable \
+        and (not interpret or bool(_os.environ.get(
+            "HALIDE_TPU_FORCE_PIPELINE"))) \
         and not _os.environ.get("HALIDE_TPU_NO_PIPELINE")
     n_buf = 2 if pipelined else 1
     # --- sliding-window member carry ------------------------------------
@@ -962,6 +993,7 @@ def _lower_group_single(f: Func, box: Box, ctx0: Ctx, graph, boxes,
     # monotonic-min/max condition, SlidingWindow.cpp:347-356).
     sliding: Dict[int, Dict] = {}
     if inner_steps > 1 and semantics[-1] == "arbitrary" \
+            and not band_split \
             and not _os.environ.get("HALIDE_TPU_NO_SLIDING"):
         order = [d.var for d in s0.dims]
         xo_name = outer_of.get(xdim)
@@ -1032,6 +1064,7 @@ def _lower_group_single(f: Func, box: Box, ctx0: Ctx, graph, boxes,
                   "pipeline_capable": pipeline_capable,
                   "pipelined": pipelined, "n_buf": n_buf,
                   "async_requested": async_requested,
+                  "band_split": band_split,
                   "sliding": sorted(m.name for m in members
                                     if id(m) in sliding)}
 
@@ -1060,7 +1093,12 @@ def _lower_group_single(f: Func, box: Box, ctx0: Ctx, graph, boxes,
                      for k, m in enumerate(slide_order)}
         sems = refs[-1]
         # size-1 grid dims fold to a static 0 so window bases stay static
-        if yi_ is not None:
+        if band_split:
+            oy = pl.program_id(0)
+            ii = pl.program_id(1) if grid[1] > 1 else jnp.int32(0)
+            iy = oy * jnp.int32(n_inner) + ii
+            ix = jnp.int32(0)
+        elif yi_ is not None:
             iy = pl.program_id(0) if grid[0] > 1 else jnp.int32(0)
             ix = pl.program_id(1) if grid[1] > 1 else jnp.int32(0)
         else:
@@ -1102,7 +1140,9 @@ def _lower_group_single(f: Func, box: Box, ctx0: Ctx, graph, boxes,
         sym_vals = tile_syms(ix, iy)
         wins = []
         if pipelined:
-            step = ix                  # inner grid dim
+            # inner grid dim: x tiles, or the per-core band index when
+            # band-split (windows then advance along y)
+            step = ii if band_split else ix
             nsteps = inner_steps
             even = jnp.bitwise_and(step, 1) == 0
 
@@ -1111,7 +1151,8 @@ def _lower_group_single(f: Func, box: Box, ctx0: Ctx, graph, boxes,
                 for k in range(len(ext_arrays)):
                     dma_for(k, 0, sym_vals).start()
 
-            nxt_syms = tile_syms(ix + 1, iy)
+            nxt_syms = tile_syms(ix, iy + 1) if band_split \
+                else tile_syms(ix + 1, iy)
             more = step + 1 < nsteps
 
             @pl.when(even)

@@ -339,6 +339,39 @@ def test_store_at_inner_level_no_carry():
     assert pg._last_plan.get("sliding") == [], pg._last_plan
 
 
+def test_band_split_pipelined_dma():
+    # full-width row-band schedules run grid (gy, 1): the inner dim never
+    # iterates, so the double-buffered DMA could never engage. The band
+    # split remaps to (2 cores, gy/2 sequential bands) so megacore AND
+    # DMA overlap compose; windows then advance along y. Forced-pipelined
+    # here so the parity-DMA machinery itself is exercised in CI.
+    import os
+    from halide_tpu.ops import pallas_group as pg
+    W, H = 256, 1026     # gy = 8 bands of 128 (even) -> grid (2, 4)
+    x, y = hl.Var("x"), hl.Var("y")
+    xo, yo, xi, yi = hl.Var("xo"), hl.Var("yo"), hl.Var("xi"), hl.Var("yi")
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 1 << 14, (H, W), np.uint16)
+    inp = hl.Buffer(img)
+    bx, by = hl.Func("bsp_bx"), hl.Func("bsp_by")
+    bx[x, y] = (inp[x, y] + inp[x + 1, y] + inp[x + 2, y]) / 3
+    by[x, y] = (bx[x, y] + bx[x, y + 1] + bx[x, y + 2]) / 3
+    by.tile(x, y, xo, yo, xi, yi, W - 2, 128).vectorize(xi).parallel(yo)
+    bx.compute_at(by, xo)
+    os.environ["HALIDE_TPU_FORCE_PIPELINE"] = "1"
+    try:
+        pg._last_plan = None
+        out = by.realize([W - 2, H - 2], jit=False).to_numpy()
+    finally:
+        os.environ.pop("HALIDE_TPU_FORCE_PIPELINE", None)
+    ref = (img[:, :-2].astype(np.uint16) + img[:, 1:-1] + img[:, 2:]) // 3
+    ref = (ref[:-2] + ref[1:-1] + ref[2:]) // 3
+    np.testing.assert_array_equal(out, ref)
+    p = pg._last_plan
+    assert p and p["band_split"] and p["grid"] == (2, 4) \
+        and p["pipelined"] and p["n_buf"] == 2, p
+
+
 def test_nl_means_boxsum_kernel_engages():
     # the three 4-D stages (d, blur_d_y, blur_d) fuse into one kernel per
     # (x, y) tile with the intermediates VMEM-resident
