@@ -992,17 +992,20 @@ def _lower_group_single(f: Func, box: Box, ctx0: Ctx, graph, boxes,
     # shift-covariance the footprint probes establish (the reference's
     # monotonic-min/max condition, SlidingWindow.cpp:347-356).
     sliding: Dict[int, Dict] = {}
+    # the carry advances along the inner SEQUENTIAL grid dim: x tiles
+    # normally, y bands under the band split
+    slide_dim, slide_stride, fp_slide = \
+        (ydim, ty, fp_sy) if band_split else (xdim, tx, fp_sx)
     if inner_steps > 1 and semantics[-1] == "arbitrary" \
-            and not band_split \
             and not _os.environ.get("HALIDE_TPU_NO_SLIDING"):
         order = [d.var for d in s0.dims]
-        xo_name = outer_of.get(xdim)
+        inner_outer = outer_of.get(slide_dim)
         _dbg = _os.environ.get("HT_DEBUG_SLIDE")
         for m in members:
             if _dbg:
                 print(f"SLIDE? {m.name}: defs={len(m._defs)} "
                       f"store={m._fschedule.store_level!r} "
-                      f"order={order} xo={xo_name}", flush=True)
+                      f"order={order} inner_outer={inner_outer}", flush=True)
             if len(m._defs) != 1 or len(m._defs[0].values) != 1:
                 continue
             slv = m._fschedule.store_level
@@ -1013,37 +1016,37 @@ def _lower_group_single(f: Func, box: Box, ctx0: Ctx, graph, boxes,
                         # inner dim within each outer step under-approximates
             else:
                 var_name = getattr(slv.var, "name", slv.var)
-                if not (slv.func is f and xo_name is not None
-                        and var_name in order and xo_name in order
-                        and order.index(var_name) > order.index(xo_name)):
+                if not (slv.func is f and inner_outer is not None
+                        and var_name in order and inner_outer in order
+                        and order.index(var_name) > order.index(inner_outer)):
                     continue
             bt_m = fp_t.boxes.get(id(m))
-            bsx_m = fp_sx.boxes.get(id(m))
-            if bt_m is None or bsx_m is None or not bt_m.bounded():
+            bs_m = fp_slide.boxes.get(id(m))
+            if bt_m is None or bs_m is None or not bt_m.bounded():
                 if _dbg:
-                    print(f"SLIDE {m.name}: no boxes {bt_m} {bsx_m}",
+                    print(f"SLIDE {m.name}: no boxes {bt_m} {bs_m}",
                           flush=True)
                 continue
             margs = [v.name for v in m._defs[0].args]
-            if xdim not in margs:
+            if slide_dim not in margs:
                 continue
-            jx_m = margs.index(xdim)
+            jx_m = margs.index(slide_dim)
             extx = int(bt_m.dims[jx_m].extent())
-            if (int(bsx_m.dims[jx_m].lo - bt_m.dims[jx_m].lo) != tx
-                    or int(bsx_m.dims[jx_m].extent()) != extx
-                    or extx - tx <= 0):
+            if (int(bs_m.dims[jx_m].lo - bt_m.dims[jx_m].lo) != slide_stride
+                    or int(bs_m.dims[jx_m].extent()) != extx
+                    or extx - slide_stride <= 0):
                 if _dbg:
-                    print(f"SLIDE {m.name}: x gate shift="
-                          f"{bsx_m.dims[jx_m].lo - bt_m.dims[jx_m].lo} "
-                          f"tx={tx} extx={extx} "
-                          f"sx_ext={bsx_m.dims[jx_m].extent()}", flush=True)
+                    print(f"SLIDE {m.name}: gate shift="
+                          f"{bs_m.dims[jx_m].lo - bt_m.dims[jx_m].lo} "
+                          f"stride={slide_stride} extx={extx} "
+                          f"s_ext={bs_m.dims[jx_m].extent()}", flush=True)
                 continue
             ok2 = True
             for j2 in range(len(margs)):
                 if j2 == jx_m:
                     continue
-                if (bsx_m.dims[j2].lo != bt_m.dims[j2].lo
-                        or bsx_m.dims[j2].extent() != bt_m.dims[j2].extent()):
+                if (bs_m.dims[j2].lo != bt_m.dims[j2].lo
+                        or bs_m.dims[j2].extent() != bt_m.dims[j2].extent()):
                     ok2 = False
                     break
             if not ok2:
@@ -1056,7 +1059,7 @@ def _lower_group_single(f: Func, box: Box, ctx0: Ctx, graph, boxes,
             if total + extra * 2 > _VMEM_BUDGET:
                 continue
             total += extra * 2
-            sliding[id(m)] = {"jx": jx_m, "overlap": extx - tx,
+            sliding[id(m)] = {"jx": jx_m, "overlap": extx - slide_stride,
                               "ext": [int(e2) for e2 in bt_m.extents()]}
 
     global _last_plan
@@ -1232,7 +1235,9 @@ def _lower_group_single(f: Func, box: Box, ctx0: Ctx, graph, boxes,
                 extx_m = info["ext"][jx_m]
                 npx_m = len(mshape) - 1 - jx_m
                 vt = m._defs[0].values[0]
-                step_in = ix            # inner grid dim is always x
+                # the inner sequential step: x tiles, or the per-core
+                # band index under the band split (y-advance carry)
+                step_in = ii if band_split else ix
 
                 @pl.when(step_in == 0)
                 def _slide_warm(m=m, scr=scr, cctx=cctx, mshape=mshape,
@@ -1242,9 +1247,10 @@ def _lower_group_single(f: Func, box: Box, ctx0: Ctx, graph, boxes,
                                       vt.dtype.to_np())
 
                 band_mins = list(abs_mins)
-                band_mins[jx_m] = off_add(abs_mins[jx_m], extx_m - tx)
+                band_mins[jx_m] = off_add(abs_mins[jx_m],
+                                          extx_m - slide_stride)
                 band_ext = list(rel_ext)
-                band_ext[jx_m] = tx
+                band_ext[jx_m] = slide_stride
                 bctx = make_ctx(m, band_mins, band_ext)
                 bshape = full_shape(bctx, list(bctx.axes.values()))
 
@@ -1255,7 +1261,7 @@ def _lower_group_single(f: Func, box: Box, ctx0: Ctx, graph, boxes,
                     bval = eval_array(svals[id(m)][0][0], bctx)
                     bval = _kcast(jnp.broadcast_to(bval, bshape),
                                   vt.dtype.to_np())
-                    kept = jax.lax.slice_in_dim(old, tx, extx_m,
+                    kept = jax.lax.slice_in_dim(old, slide_stride, extx_m,
                                                 axis=npx_m)
                     scr[...] = jnp.concatenate([kept, bval], axis=npx_m)
 

@@ -372,6 +372,38 @@ def test_band_split_pipelined_dma():
         and p["pipelined"] and p["n_buf"] == 2, p
 
 
+def test_band_split_sliding_window_y():
+    # under the band split the inner sequential dim is the y band index:
+    # a store_root'd producer carries its VMEM tile along y (sublane
+    # shifts) -- warm-up per core, new band only in steady state;
+    # composed with the forced parity-DMA pipeline
+    import os
+    from halide_tpu.ops import pallas_group as pg
+    W, H = 256, 1026
+    x, y = hl.Var("x"), hl.Var("y")
+    xo, yo, xi, yi = hl.Var("xo"), hl.Var("yo"), hl.Var("xi"), hl.Var("yi")
+    rng = np.random.default_rng(22)
+    img = rng.integers(0, 1 << 14, (H, W), np.uint16)
+    inp = hl.Buffer(img)
+    bh, bv = hl.Func("ys_bh"), hl.Func("ys_bv")
+    bh[x, y] = (inp[x, y] + inp[x + 1, y] + inp[x + 2, y]) / 3
+    bv[x, y] = (bh[x, y] + bh[x, y + 1] + bh[x, y + 2]) / 3
+    bv.tile(x, y, xo, yo, xi, yi, W - 2, 128).vectorize(xi).parallel(yo)
+    bh.compute_at(bv, xo).store_root()
+    os.environ["HALIDE_TPU_FORCE_PIPELINE"] = "1"
+    try:
+        pg._last_plan = None
+        out = bv.realize([W - 2, H - 2], jit=False).to_numpy()
+    finally:
+        os.environ.pop("HALIDE_TPU_FORCE_PIPELINE", None)
+    ref = (img[:, :-2].astype(np.uint16) + img[:, 1:-1] + img[:, 2:]) // 3
+    ref = (ref[:-2] + ref[1:-1] + ref[2:]) // 3
+    np.testing.assert_array_equal(out, ref)
+    p = pg._last_plan
+    assert p and p["band_split"] and p["sliding"] == ["ys_bh"] \
+        and p["pipelined"], p
+
+
 def test_nl_means_boxsum_kernel_engages():
     # the three 4-D stages (d, blur_d_y, blur_d) fuse into one kernel per
     # (x, y) tile with the intermediates VMEM-resident
