@@ -438,8 +438,13 @@ def _apply(pipeline, an: _Analysis, mat: Set[int], params) -> dict:
                    f"{tx}, {ty}).vectorize(xi).parallel(yo)")
         for p in cand:
             p.compute_at(out, xo)
+            # store_root: storage encloses every loop, so the lowering
+            # may carry the producer's VMEM tile across sequential grid
+            # steps (sliding window) instead of recomputing the halo
+            # band -- a no-op where the carry is illegal or profitless
+            p.store_root()
             staged.add(id(p))
-            src.append(f"{p.name}.compute_at({out.name}, xo)")
+            src.append(f"{p.name}.compute_at({out.name}, xo).store_root()")
 
     for fid in sorted((mat & set(an.free)) - staged,
                       key=lambda i: an.bytes[i]):
