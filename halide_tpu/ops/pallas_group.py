@@ -407,6 +407,20 @@ def _try_partitioned(f: Func, box: Box, ctx0: Ctx, graph, boxes):
 
     gxf = extents[xi] // tx
     gyf = extents[yi_] // ty if yi_ is not None else None
+    # a full-width interior with parallel() row bands wants an EVEN band
+    # count so the band split (megacore + per-core double-buffered DMA)
+    # can engage; with an odd count, hand one more band to the y strip
+    strip_bands = 1
+    if yi_ is not None and gxf == 1 and not rx and gyf >= 5 and (gyf & 1):
+        s0p = f._defs[0].schedule
+        outer_p = {sp.old: sp.outer for sp in s0p.splits
+                   if sp.kind == "split"}
+        par_p = {d.var for d in s0p.dims
+                 if d.for_type == ForType.PARALLEL}
+        if outer_p.get(ydim) in par_p and outer_p.get(xdim) not in par_p:
+            gyf -= 1
+            strip_bands = 2
+            ry = ry or ty       # the strip now exists even when ey % ty == 0
     mx, ex = mins[xi], extents[xi]
     my = mins[yi_] if yi_ is not None else 0
     ey = extents[yi_] if yi_ is not None else 0
@@ -427,15 +441,16 @@ def _try_partitioned(f: Func, box: Box, ctx0: Ctx, graph, boxes):
         return None
     plan_int = dict(_last_plan) if _last_plan else {}
 
+    sy = ty * strip_bands
     strip_boxes = []
     if rx:
         strip_boxes.append(sub(mx + ex - tx, tx, my, iy_e)
                            if yi_ is not None
                            else sub(mx + ex - tx, tx))
     if ry:
-        strip_boxes.append(sub(mx, ix_e, my + ey - ty, ty))
+        strip_boxes.append(sub(mx, ix_e, my + ey - sy, sy))
     if rx and ry:
-        strip_boxes.append(sub(mx + ex - tx, tx, my + ey - ty, ty))
+        strip_boxes.append(sub(mx + ex - tx, tx, my + ey - sy, sy))
 
     big = interior.arrays[0]
     for bx_s in strip_boxes:
@@ -538,12 +553,16 @@ def _lower_group_single(f: Func, box: Box, ctx0: Ctx, graph, boxes,
 
     band_split = (
         gx == 1 and yi_ is not None and gy >= 4
-        and grid_counts is None
         and dim_semantic(ydim) == "parallel"
         and dim_semantic(xdim) == "arbitrary"
         and not _os.environ.get("HALIDE_TPU_NO_BANDSPLIT"))
     if band_split:
-        gy = gy + (gy & 1)          # even band count: 2 equal core halves
+        if grid_counts is None:
+            gy = gy + (gy & 1)      # even band count: 2 equal core halves
+        elif gy & 1:
+            # a partition interior must cover EXACTLY its floor tiles
+            # (the partitioner hands it an even count when profitable)
+            band_split = False
     padded = list(extents)
     padded[xi] = gx * tx
     if yi_ is not None:
