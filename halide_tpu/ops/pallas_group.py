@@ -318,6 +318,38 @@ def _strip_boundary_clamps(expr, ext_boxes, engine):
 
 
 _NONDIV_OK: Optional[bool] = None
+_BANDSPLIT_OK: Optional[bool] = None
+
+
+def _bandsplit_ok(interpret: bool) -> bool:
+    """One-time probe: does the backend accept a COMPUTED output block
+    index (oy * n_inner + ii) -- the band-split remap's index map?
+    Probed eagerly because a backend rejection at realize time is
+    uncatchable."""
+    if interpret:
+        return True
+    global _BANDSPLIT_OK
+    if _BANDSPLIT_OK is not None:
+        return _BANDSPLIT_OK
+    try:
+        import jax.experimental.pallas as pl
+
+        def k(o_ref):
+            o_ref[...] = jnp.ones((8, 128), jnp.float32)
+
+        call = pl.pallas_call(
+            k, grid=(2, 2),
+            out_specs=pl.BlockSpec((8, 128),
+                                   lambda o, i: (o * 2 + i, 0)),
+            out_shape=jax.ShapeDtypeStruct((32, 128), jnp.float32))
+        jax.jit(call).lower().compile()
+        _BANDSPLIT_OK = True
+    except Exception:
+        if _os.environ.get("HT_DEBUG_PROBE"):
+            import traceback
+            traceback.print_exc()
+        _BANDSPLIT_OK = False
+    return _BANDSPLIT_OK
 
 
 def _nondiv_out_ok(interpret: bool) -> bool:
@@ -555,7 +587,8 @@ def _lower_group_single(f: Func, box: Box, ctx0: Ctx, graph, boxes,
         gx == 1 and yi_ is not None and gy >= 4
         and dim_semantic(ydim) == "parallel"
         and dim_semantic(xdim) == "arbitrary"
-        and not _os.environ.get("HALIDE_TPU_NO_BANDSPLIT"))
+        and not _os.environ.get("HALIDE_TPU_NO_BANDSPLIT")
+        and _bandsplit_ok(jax.default_backend() != "tpu"))
     if band_split:
         if grid_counts is None:
             gy = gy + (gy & 1)      # even band count: 2 equal core halves
