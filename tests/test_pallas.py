@@ -266,6 +266,31 @@ def test_partitioned_tail_shift_inwards():
     assert pg._last_plan.get("parts") == 4, pg._last_plan  # int + x + y + corner
 
 
+def test_partitioned_tail_1d():
+    # 1-D split with a non-multiple extent: interior + one shifted strip
+    from halide_tpu.ops import pallas_group as pg
+    W = 300      # 64-tiles: 4 interior + strip
+    x = hl.Var("x")
+    xo, xi = hl.Var("xo"), hl.Var("xi")
+    rng = np.random.default_rng(4)
+    img = rng.standard_normal((W + 2,)).astype(np.float32)
+    inp = hl.Buffer(img)
+    g = hl.Func("p1_g")
+    f = hl.Func("p1_f")
+    g[x] = inp[x] * 2.0 + inp[x + 1]
+    f[x] = g[x] + g[x + 1]
+    f.split(x, xo, xi, 64).vectorize(xi)
+    g.compute_at(f, xo)
+    pg._last_plan = None
+    out = f.realize([W], jit=False).to_numpy()
+    gr = img[:-1] * 2.0 + img[1:]
+    ref = gr[:-1] + gr[1:]
+    np.testing.assert_allclose(out, ref[:W], rtol=1e-6)
+    assert pg._last_plan is not None
+    assert pg._last_plan.get("tail") == "shift_inwards", pg._last_plan
+    assert pg._last_plan.get("parts") == 2, pg._last_plan
+
+
 def test_partitioned_tail_round_up_opt_out():
     # an explicit RoundUp tail keeps the pad+crop lowering
     from halide_tpu.ops import pallas_group as pg
