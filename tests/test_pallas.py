@@ -251,6 +251,53 @@ def test_single_tile_div_window_prediv():
         np.testing.assert_array_equal(o, gold, err_msg=case)
 
 
+def test_div_window_grid_matrix():
+    # systematic sweep: div factor x grid shape x lerp/direct -- the
+    # one-tile-grid prediv bug lived in a hole of this matrix. All cells
+    # must be exact (the staged coarse table IS the value, no rounding).
+    from halide_tpu.ops import pallas_group as pg
+    rng = np.random.default_rng(31)
+    W = H = 64
+    for cell in (4, 8, 16):
+        for tilex, tiley in ((64, 64), (32, 64), (64, 32), (32, 32)):
+            for lerp in (False, True):
+                x, y = hl.Var("x"), hl.Var("y")
+                lw, lh = W // cell + 2, H // cell + 2
+                tabn = rng.standard_normal((lh, lw)).astype(np.float32)
+                tb = hl.Buffer(tabn)
+                t = hl.Func(f"m_t{cell}_{tilex}_{tiley}_{int(lerp)}")
+                t[x, y] = tb[hl.clamp(x, 0, lw - 1), hl.clamp(y, 0, lh - 1)]
+                t.compute_root()
+                out = hl.Func(f"m_o{cell}_{tilex}_{tiley}_{int(lerp)}")
+                xi_ = x / cell
+                yi2 = y / cell
+                if lerp:
+                    xf = hl.f32(x) / cell - hl.f32(xi_)
+                    out[x, y] = hl.lerp(t[xi_, yi2], t[xi_ + 1, yi2], xf)
+                else:
+                    out[x, y] = t[xi_, yi2]
+                xo, yo, xin, yin = (hl.Var(nm)
+                                    for nm in ("xo", "yo", "xin", "yin"))
+                out.tile(x, y, xo, yo, xin, yin, tilex, tiley) \
+                   .vectorize(xin).parallel(yo)
+                o = out.realize([W, H], jit=False).to_numpy()
+                ys = (np.arange(H) // cell)
+                xs = (np.arange(W) // cell)
+                g0 = tabn[ys[:, None], xs[None, :]]
+                if lerp:
+                    g1 = tabn[ys[:, None], np.minimum(xs + 1, lw - 1)[None]]
+                    xfv = (np.arange(W) / np.float32(cell) - xs).astype(
+                        np.float32)
+                    gold = g0 + xfv[None, :] * (g1 - g0)
+                    np.testing.assert_allclose(
+                        o, gold, rtol=0, atol=1e-6,
+                        err_msg=f"cell={cell} tile={tilex}x{tiley} lerp")
+                else:
+                    np.testing.assert_array_equal(
+                        o, g0,
+                        err_msg=f"cell={cell} tile={tilex}x{tiley}")
+
+
 def test_partitioned_tail_shift_inwards():
     # a non-multiple extent through a tiled schedule lowers as interior
     # floor-tiles + shifted edge strips (no RoundUp over-compute: the
