@@ -61,6 +61,9 @@ _KERNEL_NODE_BUDGET = int(_os.environ.get("HALIDE_TPU_KERNEL_NODES", 2500))
 # when the lowering declines, the reason
 _last_plan: Optional[dict] = None
 _last_reject: Optional[str] = None
+# per-consumer plan history for observability (stmt_html report); keyed
+# by Func name, updated on every successful group lowering
+_plans_by_name: Dict[str, dict] = {}
 
 
 def _reject(reason: str):
@@ -498,6 +501,7 @@ def _try_partitioned(f: Func, box: Box, ctx0: Ctx, graph, boxes):
     plan_int["parts"] = 1 + len(strip_boxes)
     plan_int["tail"] = "shift_inwards"
     _last_plan = plan_int
+    _plans_by_name[f.name] = plan_int
     return Realized((big,), tuple(mins), f.name)
 
 
@@ -1122,6 +1126,7 @@ def _lower_group_single(f: Func, box: Box, ctx0: Ctx, graph, boxes,
                   "band_split": band_split,
                   "sliding": sorted(m.name for m in members
                                     if id(m) in sliding)}
+    _plans_by_name[f.name] = _last_plan
 
     # per-buffer scratch refs (separate entries: Mosaic loads/DMA want
     # static buffer selection, steered by step-parity pl.when branches)

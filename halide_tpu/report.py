@@ -54,6 +54,15 @@ def pipeline_report_html(pipeline, sizes=None) -> str:
             lower = (f"<div class=lowering>pallas group: tile "
                      f"{find_tile(f)} + {len(mem)} staged producer(s)"
                      f" [{', '.join(m.name for m in mem)}]</div>")
+            from .ops.pallas_group import _plans_by_name
+            plan = _plans_by_name.get(f.name)
+            if plan is not None:
+                # the plan the last lowering of this consumer chose
+                # (grid, megacore semantics, DMA buffering, band split,
+                # sliding members, tail partitioning)
+                pstr = ", ".join(f"{k}={v}" for k, v in plan.items())
+                lower += (f"<div class=lowering>last plan: "
+                          f"{html.escape(pstr)}</div>")
         parts.append(
             f"<div><span class=name>{html.escape(f.name)}</span>"
             f" <span class=meta>({stage})</span></div>")
