@@ -389,22 +389,35 @@ def _apply(pipeline, an: _Analysis, mat: Set[int], params) -> dict:
             continue
         x, y = out._args[0], out._args[1]
         itemsize = out.output_type(0).to_np().itemsize
-        # candidate producers stageable into the consumer kernel
+        # candidate producers stageable into the consumer kernel:
+        # TRANSITIVE closure -- a free func whose every consumer is
+        # already in the group joins it (harris: resp AND the six
+        # gradient-product stages become VMEM-resident members of one
+        # kernel instead of seven HBM materializations). Unit-stride
+        # reads only; the kernel lowering's own gates (VMEM budget,
+        # node budget, footprint classification) still get the final say
+        # and fall back per-group.
+        group = {id(out)}
         cand = []
-        for pid in list(an.reads.get(id(out), {})):
-            p = an.by_id.get(pid)
-            if p is None or pid not in an.free:
-                continue
-            cons = an.consumers_of(pid)
-            if cons != [id(out)]:
-                continue
-            names = {v.name for v in p._args}
-            if x.name not in names or y.name not in names:
-                continue
-            _nr, coeffs = an.reads[id(out)][pid]
-            if any(c2 > 1 for c2 in coeffs):
-                continue
-            cand.append(p)
+        changed = True
+        while changed:
+            changed = False
+            for p in an.funcs:
+                pid = id(p)
+                if pid in group or pid not in an.free:
+                    continue
+                cons = an.consumers_of(pid)
+                if not cons or not all(c in group for c in cons):
+                    continue
+                names = {v.name for v in p._args}
+                if x.name not in names or y.name not in names:
+                    continue
+                if any(any(c2 > 1 for c2 in an.reads[c][pid][1])
+                       for c in cons):
+                    continue
+                group.add(pid)
+                cand.append(p)
+                changed = True
         if not cand:
             continue
         # tile-shape SEARCH over an analytical model (reference: the
