@@ -399,6 +399,11 @@ def _apply(pipeline, an: _Analysis, mat: Set[int], params) -> dict:
         # and fall back per-group.
         group = {id(out)}
         cand = []
+        # stay under the kernel lowering's expression-node budget (a
+        # too-big group would be REJECTED wholesale at lowering and the
+        # whole pipeline would fall back to XLA -- worse than staging
+        # fewer members)
+        node_sum = an.ops[id(out)]
         changed = True
         while changed:
             changed = False
@@ -415,6 +420,9 @@ def _apply(pipeline, an: _Analysis, mat: Set[int], params) -> dict:
                 if any(any(c2 > 1 for c2 in an.reads[c][pid][1])
                        for c in cons):
                     continue
+                if node_sum + an.ops[pid] > 1800:
+                    continue
+                node_sum += an.ops[pid]
                 group.add(pid)
                 cand.append(p)
                 changed = True
