@@ -177,6 +177,24 @@ def _is_free_choice(f, pipeline) -> bool:
     return True
 
 
+def _is_stageable(f, pipeline) -> bool:
+    """Eligible to be staged compute_at into a consumer kernel. Wider
+    than _is_free_choice: update-definition producers qualify (the group
+    lowering evaluates update stages in-kernel since round 3); the
+    inline/root search still never flips them."""
+    if f in pipeline.outputs or f.is_extern():
+        return False
+    if any(len(d.values) != 1 for d in f._defs):
+        return False
+    if f._fschedule.compute_level.defined():
+        return False
+    if f._fschedule.memoized or getattr(f, "_specializations", None):
+        return False
+    if any(d.schedule.fused_with for d in f._defs):
+        return False
+    return True
+
+
 def _coeff_of(e) -> int:
     """|stride| of a call arg in its Vars (looks through clamp/min/max/
     casts); 1 for plain/unknown."""
@@ -409,7 +427,7 @@ def _apply(pipeline, an: _Analysis, mat: Set[int], params) -> dict:
             changed = False
             for p in an.funcs:
                 pid = id(p)
-                if pid in group or pid not in an.free:
+                if pid in group or not _is_stageable(p, pipeline):
                     continue
                 cons = an.consumers_of(pid)
                 if not cons or not all(c in group for c in cons):
