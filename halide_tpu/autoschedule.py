@@ -468,7 +468,15 @@ def _apply(pipeline, an: _Analysis, mat: Set[int], params) -> dict:
                     hx = max(hx, max(0, pext[0] - W_e))
                     hy = max(hy, max(0, pext[1] - H_e))
         resident = max(2, len(cand) + 2)
-        tx, ty = _pick_tile(W_e, H_e, itemsize, resident, hx, hy)
+        forced = (params or {}).get("tile")
+        if forced is not None:
+            # measured tile-size search (tools/tilesearch.py): the caller
+            # benchmarks a menu of shapes on hardware and picks the
+            # winner -- the reference's autotuning loop, with real
+            # timings instead of the analytical model
+            tx, ty = int(forced[0]), int(forced[1])
+        else:
+            tx, ty = _pick_tile(W_e, H_e, itemsize, resident, hx, hy)
         xo, yo, xi, yi = (Var(f"{v}_as") for v in ("xo", "yo", "xi", "yi"))
         out.tile(x, y, xo, yo, xi, yi, tx, ty)
         out.vectorize(xi)
