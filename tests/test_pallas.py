@@ -444,6 +444,32 @@ def test_band_split_pipelined_dma():
         and p["pipelined"] and p["n_buf"] == 2, p
 
 
+def test_band_split_even_interior_with_tail():
+    # the flagship blur shape: full-width bands, odd floor band count
+    # (1534/128 = 11), non-multiple y extent. The partitioner must hand
+    # one band to the strip so the interior stays even and band-splits.
+    from halide_tpu.ops import pallas_group as pg
+    W, H = 256, 1536
+    x, y = hl.Var("x"), hl.Var("y")
+    xo, yo, xi, yi = hl.Var("xo"), hl.Var("yo"), hl.Var("xi"), hl.Var("yi")
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 1 << 14, (H, W), np.uint16)
+    inp = hl.Buffer(img)
+    bx, by = hl.Func("ei_bx"), hl.Func("ei_by")
+    bx[x, y] = (inp[x, y] + inp[x + 1, y] + inp[x + 2, y]) / 3
+    by[x, y] = (bx[x, y] + bx[x, y + 1] + bx[x, y + 2]) / 3
+    by.tile(x, y, xo, yo, xi, yi, W - 2, 128).vectorize(xi).parallel(yo)
+    bx.compute_at(by, xo)
+    pg._last_plan = None
+    out = by.realize([W - 2, H - 2], jit=False).to_numpy()
+    ref = (img[:, :-2].astype(np.uint16) + img[:, 1:-1] + img[:, 2:]) // 3
+    ref = (ref[:-2] + ref[1:-1] + ref[2:]) // 3
+    np.testing.assert_array_equal(out, ref)
+    p = pg._last_plan
+    assert p and p["band_split"] and p["grid"] == (2, 5) \
+        and p.get("tail") == "shift_inwards", p
+
+
 def test_band_split_sliding_window_y():
     # under the band split the inner sequential dim is the y band index:
     # a store_root'd producer carries its VMEM tile along y (sublane
