@@ -106,3 +106,76 @@ def build_sdot(N: int = 1 << 22, **_ignored) -> App:
 
     return App("sdot", hl.Pipeline(out), [xv, yv], make_inputs, reference,
                [1], megapixels=N / 1e6, tolerance=1e-2, atol=1e-1)
+
+
+@register("sscal_scopy")
+def build_sscal_scopy(N: int = 1 << 22, a: float = 2.5, **_ignored) -> App:
+    """L1 scal + copy in one two-output pipeline (reference:
+    apps/linear_algebra/src/blas_l1_generators.cpp ScalGenerator/
+    CopyGenerator)."""
+    i = hl.Var("i")
+    xv = hl.ImageParam(hl.Float(32), 1, "x")
+    scal = hl.Func("sscal")
+    scal[i] = a * xv[i]
+    copy = hl.Func("scopy")
+    copy[i] = xv[i]
+
+    def make_inputs(seed=0):
+        rng = np.random.default_rng(seed)
+        return {"x": rng.standard_normal(N).astype(np.float32)}
+
+    def reference(x):
+        return [np.float32(a) * x, x.copy()]
+
+    return App("sscal_scopy", hl.Pipeline([scal, copy]), [xv], make_inputs,
+               reference, [N], megapixels=N / 1e6)
+
+
+@register("sasum")
+def build_sasum(N: int = 1 << 22, **_ignored) -> App:
+    """L1 asum: sum of |x| (reference: blas_l1_generators.cpp
+    AsumGenerator; rfactor'd into lane partials like the reference's
+    vectorized reduction)."""
+    i = hl.Var("i")
+    xv = hl.ImageParam(hl.Float(32), 1, "x")
+    r = hl.RDom(0, N, "ra")
+    out = hl.Func("sasum")
+    out[i] = 0.0
+    out[i] += hl.abs(xv[r.x])
+
+    def make_inputs(seed=0):
+        rng = np.random.default_rng(seed)
+        return {"x": (rng.standard_normal(N) * 0.01).astype(np.float32)}
+
+    def reference(x):
+        return np.array([np.abs(x.astype(np.float64)).sum()], np.float32)
+
+    return App("sasum", hl.Pipeline(out), [xv], make_inputs, reference,
+               [1], megapixels=N / 1e6, tolerance=1e-2, atol=1e-1)
+
+
+@register("sger")
+def build_sger(M: int = 4096, N: int = 4096, a: float = 1.5,
+               **_ignored) -> App:
+    """L2 ger: rank-1 update A += a*x*y^T (reference:
+    apps/linear_algebra/src/blas_l2_generators.cpp GerGenerator)."""
+    i, j = hl.Var("i"), hl.Var("j")
+    A = hl.ImageParam(hl.Float(32), 2, "A")
+    xv = hl.ImageParam(hl.Float(32), 1, "x")
+    yv = hl.ImageParam(hl.Float(32), 1, "y")
+    out = hl.Func("sger")
+    out[i, j] = A[i, j] + a * xv[i] * yv[j]
+
+    def make_inputs(seed=0):
+        rng = np.random.default_rng(seed)
+        return {"A": rng.standard_normal((N, M)).astype(np.float32),
+                "x": rng.standard_normal(M).astype(np.float32),
+                "y": rng.standard_normal(N).astype(np.float32)}
+
+    def reference(A, x, y):
+        return (A + np.float32(a) * y[:, None] * x[None, :]).astype(
+            np.float32)
+
+    return App("sger", hl.Pipeline(out), [A, xv, yv], make_inputs,
+               reference, [M, N], megapixels=M * N / 1e6, tolerance=1e-4,
+               atol=1e-4)

@@ -161,6 +161,18 @@ def test_sdot():
     check("sdot", N=4096)
 
 
+def test_sscal_scopy():
+    check("sscal_scopy", N=1000)
+
+
+def test_sasum():
+    check("sasum", N=4096)
+
+
+def test_sger():
+    check("sger", M=64, N=96)
+
+
 def test_bgu():
     check("bgu", width=128, height=96)
 
