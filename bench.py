@@ -108,6 +108,12 @@ RANK = {n: i for i, n in enumerate([
 # Manually-tuned vs Auto-scheduled print)
 AUTOSCHED_SET = ("unsharp", "harris", "wavelet", "gaussian_blur",
                  "linear_blur")
+# sub-second bandwidth ops: run after the ranked list, before the autos.
+# EXCLUDED from the headline geomean (they would inflate it relative to
+# earlier rounds' app set); reported per-app only.
+NON_HEADLINE = ("sscal_scopy", "sasum", "sger")
+for _n in NON_HEADLINE:
+    RANK[_n] = 27.2
 for _n in AUTOSCHED_SET:
     # after resnet/lens: the auto: column is excluded from the headline
     # geomean, while resnet_50/lens_blur entries have been dropped by wall
@@ -375,7 +381,7 @@ def _emit(results, ratios, errors, device=""):
                           "errors": errors}), flush=True)
         return
     vals = [r["mp_per_s"] for k, r in results.items()
-            if not k.startswith("auto:")]
+            if not k.startswith("auto:") and k not in NON_HEADLINE]
     if not vals:
         vals = [r["mp_per_s"] for r in results.values()]
     geo = math.exp(sum(math.log(max(v, 1e-9)) for v in vals) / len(vals))
