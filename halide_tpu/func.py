@@ -317,7 +317,13 @@ class Stage:
 
     # ---- misc -------------------------------------------------------------
     def prefetch(self, *a, **kw) -> "Stage":
-        return self   # DMA prefetch is implicit in the Pallas pipeline
+        """(reference: src/PrefetchDirective.h) On TPU the next tile's
+        input DMA is the prefetch; the group lowering plans it
+        automatically whenever the inner grid dim iterates. Recording the
+        request lets schedules assert the overlap took (the plan's
+        async_requested flag), exactly like async()/ring_buffer()."""
+        self.func._fschedule.is_async = True
+        return self
 
     def specialize(self, cond):
         from .specialize import add_specialization
