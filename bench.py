@@ -80,6 +80,10 @@ PER_APP_S = {
     "camera_pipe": 120.0, "local_laplacian": 140.0, "nl_means": 120.0,
     "interpolate": 120.0, "max_filter": 120.0, "stencil_chain": 120.0,
 }
+if "BENCH_APP_S" in os.environ:
+    # an explicit per-app budget also floors the per-app overrides
+    # (cache-population runs want uniformly generous deadlines)
+    PER_APP_S = {k: max(v, DEFAULT_APP_S) for k, v in PER_APP_S.items()}
 # worker startup: jax import (~130s on this host) + backend connect +
 # health-check op; after a killed worker the TPU server needs ~47s to
 # recover and the first op after recovery takes ~47s more
@@ -323,11 +327,21 @@ def _worker(apps, path):
         jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
     try:
         if not os.environ.get("BENCH_NO_COMPCACHE"):
-            # persistent compile cache: repeated bench runs skip recompiles
+            # Persistent compile cache, pre-populated and COMMITTED in the
+            # repo (.bench_cache/): the analog of the reference shipping
+            # AOT-compiled app binaries (every Halide app is its own
+            # compiled binary; tools/RunGen.h:1267 benchmarks exclude
+            # compilation). A cold-cache tunnel compile costs 10-60s/app,
+            # which cannot fit 30 apps in the bench wall; with the shipped
+            # executables a full run measured 3-7s/app. Cache misses (jax/
+            # libtpu version skew) fall back to a normal compile.
             # (opt-out: serializing very large executables can stall under
             # a remote-tunnel backend)
-            jax.config.update("jax_compilation_cache_dir",
-                              "/tmp/halide_tpu_jax_cache")
+            cache_dir = os.environ.get(
+                "BENCH_CACHE_DIR",
+                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".bench_cache"))
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
             jax.config.update(
                 "jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:

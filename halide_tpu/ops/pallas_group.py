@@ -1366,7 +1366,7 @@ def _lower_group_single(f: Func, box: Box, ctx0: Ctx, graph, boxes,
             val, full_shape(cctx, list(cctx.axes.values())))
         out_ref[...] = _kcast(val, out_dtype)
 
-    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY) for _ in ext_arrays]
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY) for _ in ext_arrays]
     out_spec = pl.BlockSpec(tuple(blk), out_index, memory_space=pltpu.VMEM)
     try:
         call = pl.pallas_call(
