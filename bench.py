@@ -97,11 +97,14 @@ NO_CHAIN = ("resnet_50", "lens_blur", "bilateral_grid")
 
 # importance order: apps with reference-CPU baselines (they drive
 # vs_baseline) and the north-star set first, so budget exhaustion drops
-# only the tail; lens_blur last (it once faulted the worker)
+# only the tail; lens_blur last (it once faulted the worker).
+# camera_pipe and local_laplacian compile pathologically when their AOT
+# cache entry misses (363s / >400s measured cold) -- they sit after the
+# cheap baseline set so a cache-miss run still posts a wide geomean.
 RANK = {n: i for i, n in enumerate([
-    "blur", "bilateral_grid", "camera_pipe", "local_laplacian",
-    "interpolate", "hist", "iir_blur", "unsharp", "harris",
-    "stencil_chain", "compositing", "bgu", "max_filter", "nl_means",
+    "blur", "bilateral_grid", "hist", "iir_blur", "unsharp", "harris",
+    "stencil_chain", "compositing", "interpolate",
+    "camera_pipe", "local_laplacian", "bgu", "max_filter", "nl_means",
     "conv_layer", "depthwise_separable_conv", "gaussian_blur",
     "wavelet", "resize", "linear_blur", "fft", "sgemm", "saxpy",
     "sdot", "sgemv", "resnet_50", "lens_blur"])}
