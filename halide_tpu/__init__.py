@@ -34,7 +34,8 @@ from .func import Var, Func, Stage, FuncRef, _, TupleExpr as Tuple  # noqa: E402
 from .rdom import RDom, RVar                                        # noqa: E402
 from .buffer import Buffer, ImageParam, Param, Realization          # noqa: E402
 from .pipeline import Pipeline                                      # noqa: E402
-from .schedule import (TailStrategy, LoopLevel, ForType)            # noqa: E402
+from .schedule import (TailStrategy, LoopLevel, ForType,            # noqa: E402
+                       LoopAlignStrategy)
 from .target import (Target, get_host_target,                       # noqa: E402
                      get_jit_target_from_environment,
                      get_target_from_environment)
@@ -56,6 +57,7 @@ __all__ = [
     "RDom", "RVar",
     "Buffer", "ImageParam", "Param", "Realization",
     "Pipeline", "TailStrategy", "LoopLevel", "ForType",
+    "LoopAlignStrategy",
     "Target", "get_host_target", "get_jit_target_from_environment",
     "get_target_from_environment",
     "sum", "product", "maximum", "minimum", "argmax", "argmin",

@@ -49,7 +49,11 @@ def build(width: int = 1536, height: int = 2560) -> App:
     # blur stages staged into VMEM. Measured v5e at 1536x2560x3 f32:
     # 3.08 ms unscheduled fused-XLA -> 1.52 ms through the kernel path.
     xo, yo, xi, yi = hl.Var("xo"), hl.Var("yo"), hl.Var("xi"), hl.Var("yi")
-    output.tile(x, y, xo, yo, xi, yi, width, 256).vectorize(xi).parallel(yo)
+    # clamp the y-tile so small test sizes exercise the same tiled loop
+    # structure as the canonical build (a 256 split over height<256 would
+    # silently degenerate to a single tile)
+    output.tile(x, y, xo, yo, xi, yi, width,
+                min(256, height)).vectorize(xi).parallel(yo)
     blurred.compute_at(output, xo).store_root()
     blur_x.compute_at(output, xo).store_root()
 

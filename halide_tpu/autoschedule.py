@@ -23,8 +23,10 @@ TPU actually charges for (all measured on v5e during bring-up):
     (lane+sublane double decimation defeats the tiled layout), so such a
     pass is charged 8x its bytes.
 
-"Li2018" (the gradient autoscheduler) is NOT implemented; requesting it
-raises instead of silently aliasing a different algorithm.
+"Li2018" (the gradient autoscheduler) is the reference's search-free
+template for autodiff pipelines (li2018/GradientAutoscheduler.cpp):
+compute_root + parallelize/vectorize per func, and rfactor'd reduction
+parallelism for small-pure-domain associative updates.
 """
 from __future__ import annotations
 
@@ -521,9 +523,93 @@ def _adams(pipeline, target, params):
 
 
 def _li2018(pipeline, target, params):
-    raise CompileError(
-        "Li2018 (gradient autoscheduler) is not implemented in halide_tpu; "
-        "use Mullapudi2016 (greedy) or Adams2019 (beam search)")
+    """Gradient autoscheduler (reference: src/autoschedulers/li2018/
+    GradientAutoscheduler.cpp, apply_schedule @573): a search-free template
+    for the many small Funcs reverse-mode autodiff emits. Per func:
+    compute_root + parallelize/vectorize the pure loops; for an update
+    definition whose PURE domain is too small to parallelize, split each
+    reduction variable of extent >= 8 by ~sqrt(extent) (rounded up to the
+    8-sublane granule; reference uses ceil(sqrt/8)*8 @644-650) and rfactor
+    the outer rvars into a compute_root interim func (@683-684) so the
+    reduction gains a parallel axis. rfactor itself runs the associativity
+    prover, mirroring the reference's prove_associativity gate (@630)."""
+    from .func import Stage, Var
+    from .rdom import RVar
+    from .schedule import TailStrategy
+
+    an = _Analysis(pipeline)
+    par = int((params or {}).get("parallelism", 8))
+    max_domain = 8 * 128 * par      # lane-width analog of 8*parallelism
+    src: List[str] = []
+    engine = BoundsEngine(resolver=lambda n, a: None)
+
+    def _mark_pure(f):
+        d = f._defs[0]
+        pure = [dm.var for dm in d.schedule.dims if not dm.is_rvar]
+        if pure:
+            f.vectorize(Var(pure[0]))
+            src.append(f"{f.name}.vectorize({pure[0]})")
+        if len(pure) >= 2:
+            f.parallel(Var(pure[-1]))
+            src.append(f"{f.name}.parallel({pure[-1]})")
+
+    for f in an.funcs:
+        if f.is_extern() or f._fschedule.compute_level.defined():
+            continue
+        if id(f) not in an.g.materialized and f not in pipeline.outputs:
+            continue                       # stays inlined (XLA fuses it)
+        f.compute_root()
+        src.append(f"{f.name}.compute_root()")
+        _mark_pure(f)
+        box = an.boxes.get(id(f))
+        domain = 1
+        if box is not None and box.defined() and box.bounded():
+            for e in box.extents():
+                domain *= max(1, int(e))
+        for ui, d in enumerate(f._defs[1:]):
+            if domain >= max_domain or d.rdom is None:
+                continue
+            # pure domain too small: expose reduction parallelism by
+            # splitting + rfactoring the large rvars
+            pairs = []
+            stage = Stage(f, ui + 1)
+            for rv in list(d.rdom.dims):
+                try:
+                    if isinstance(rv.rextent, E.IntImm):
+                        ext = rv.rextent.value
+                    else:
+                        iv = engine.bounds(rv.rextent, {})
+                        if not iv.is_bounded():
+                            continue
+                        ext = int(iv.hi)
+                except Exception:
+                    continue
+                if ext < 8:
+                    continue
+                split = int(np.ceil(np.sqrt(ext) / 8.0)) * 8
+                ro = RVar(name=f"{rv.name}.li_ro")
+                ri = RVar(name=f"{rv.name}.li_ri")
+                try:
+                    stage.split(rv, ro, ri, split,
+                                TailStrategy.GuardWithIf)
+                except CompileError:
+                    continue
+                src.append(f"{f.name}.update({ui}).split({rv.name}, "
+                           f"{ro.name}, {ri.name}, {split})")
+                pairs.append((ro, Var(f"{rv.name}_v")))
+            if not pairs:
+                continue
+            try:
+                interim = stage.rfactor(pairs)
+            except CompileError:
+                continue                   # not associative: leave serial
+            interim.compute_root()
+            src.append(
+                f"{interim.name} = {f.name}.update({ui}).rfactor("
+                + ", ".join(f"({r.name}, {v.name})" for r, v in pairs)
+                + "); {0}.compute_root()".format(interim.name))
+            _mark_pure(interim)
+    return {"schedule_source": ";\n".join(src)}
 
 
 register_autoscheduler("Mullapudi2016", _mullapudi)

@@ -310,9 +310,44 @@ class Stage:
         return rfactor_impl(self.func, self.index, pairs)
 
     def compute_with(self, other, var, align=None) -> "Stage":
+        """Fuse this stage's loop nest with a sibling's from `var` outward
+        (reference: src/Func.h compute_with, src/Schedule.h:538 FusedPair).
+        `align` accepts a LoopAlignStrategy, or a dict/list mapping loop-var
+        names to strategies (reference: src/Schedule.h:139-152). All
+        alignment variants are value-identical here -- see
+        LoopAlignStrategy's docstring -- but the strategy is validated,
+        recorded, serialized, and shown in the stmt report."""
+        from .schedule import LoopAlignStrategy
+
+        def _norm_one(a):
+            if a is None:
+                return LoopAlignStrategy.Auto
+            if isinstance(a, LoopAlignStrategy):
+                return a
+            if isinstance(a, str):
+                try:
+                    return LoopAlignStrategy[a]
+                except KeyError:
+                    pass
+            raise CompileError(
+                f"compute_with: invalid align {a!r}; expected a "
+                "LoopAlignStrategy (Auto/AlignStart/AlignEnd/NoAlign)")
+
+        vn = self._vn(var)
+        if isinstance(align, dict):
+            amap = {(self._vn(k)): _norm_one(v) for k, v in align.items()}
+        elif isinstance(align, (list, tuple)):
+            amap = {self._vn(k): _norm_one(v) for (k, v) in align}
+        else:
+            amap = {vn: _norm_one(align)}
+        for k in amap:
+            if not self._sched.has_dim(k):
+                raise CompileError(
+                    f"compute_with align: no loop variable named {k!r} in "
+                    f"{self.func.name}")
         other_stage = other if isinstance(other, Stage) else Stage(other, 0)
         self._sched.fused_with.append(
-            ((other_stage.func, other_stage.index), self._vn(var)))
+            ((other_stage.func, other_stage.index), vn, amap))
         return self
 
     # ---- misc -------------------------------------------------------------

@@ -178,7 +178,7 @@ def _fusion_cliques(g: _Graph) -> Dict[int, List[Func]]:
     any_fused = False
     for f in g.funcs:
         for d in f._defs:
-            for (other, _var) in d.schedule.fused_with:
+            for (other, _var, *_align) in d.schedule.fused_with:
                 of = other[0] if isinstance(other, tuple) else other
                 if id(of) in by_id and id(f) in g.materialized \
                         and id(of) in g.materialized \

@@ -84,6 +84,12 @@ def pipeline_report_html(pipeline, sizes=None) -> str:
                 parts.append(f"<div class=sched>splits: "
                              f"{html.escape(splits)}</div>")
             parts.append(f"<div class=sched>loops: {html.escape(dims)}</div>")
+            for (other, var, align) in d.schedule.fused_with:
+                astr = ", ".join(f"{k}:{a.value}" for k, a in align.items())
+                parts.append(
+                    f"<div class=sched>compute_with: "
+                    f"{html.escape(other[0].name)} at {html.escape(var)}"
+                    f" [{html.escape(astr)}]</div>")
         lvl = f._fschedule.compute_level
         parts.append(f"<div class=sched>compute: {html.escape(repr(lvl))}"
                      f"</div>")

@@ -62,6 +62,23 @@ class TailStrategy(enum.Enum):
     RoundUpAndBlend = "round_up_and_blend"
 
 
+class LoopAlignStrategy(enum.Enum):
+    """compute_with iteration-space alignment (reference: src/Schedule.h:
+    139-152). In the reference, AlignStart/AlignEnd SHIFT the fused child's
+    iteration space so loop mins (or maxes) coincide, and guards keep every
+    stage computing exactly its own required box
+    (src/ScheduleFunctions.cpp:303-356) -- values are identical across all
+    variants; only the pairing of co-executing iterations changes. In this
+    array lowering each clique member is evaluated exactly over its own
+    box (the guards are implicit in the array model), so all variants are
+    value-identical by construction; the strategy is recorded, serialized,
+    and surfaced in the stmt report so ported schedules keep their intent."""
+    Auto = "auto"
+    AlignStart = "align_start"
+    AlignEnd = "align_end"
+    NoAlign = "no_align"
+
+
 @dataclasses.dataclass
 class Split:
     old: str
@@ -155,7 +172,9 @@ class StageSchedule:
             Dim(r, is_rvar=True) for r in rvar_names]
         self.atomic = False
         self.allow_races = False
-        self.fused_with: List[Tuple[Any, str]] = []   # compute_with pairs
+        # compute_with records: ((func, def_index), var_name, align) where
+        # align maps var_name -> LoopAlignStrategy for the fused loops
+        self.fused_with: List[Tuple[Any, str, Dict[str, Any]]] = []
         self.rfactored_from = None
 
     def find_dim(self, name: str) -> int:

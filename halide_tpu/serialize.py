@@ -181,6 +181,9 @@ class _Ser:
             "dims": [[d.var, d.for_type.value, d.is_rvar] for d in s.dims],
             "atomic": s.atomic,
             "allow_races": s.allow_races,
+            "fused": [[self.func(other[0]), other[1], var,
+                       {k: a.value for k, a in align.items()}]
+                      for (other, var, align) in s.fused_with],
         }
 
 
@@ -324,6 +327,12 @@ class _Des:
         s.dims = [Dim(v, ForType(ft), rv) for v, ft, rv in meta["dims"]]
         s.atomic = meta["atomic"]
         s.allow_races = meta["allow_races"]
+        from .schedule import LoopAlignStrategy
+        for rec in meta.get("fused", []):
+            fkey, fidx, var, align = rec
+            s.fused_with.append(
+                ((self.func(fkey), fidx), var,
+                 {k: LoopAlignStrategy(v) for k, v in align.items()}))
 
     def _apply_func_schedule(self, fn: Func, meta):
         fs = fn._fschedule

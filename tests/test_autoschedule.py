@@ -66,8 +66,51 @@ def test_beam_search_not_worse_than_greedy():
     assert cb <= cg + 1e-6
 
 
-def test_li2018_is_honestly_unimplemented():
-    import pytest
-    p, _img, _dx = _pyramid_pipeline()
-    with pytest.raises(hl.CompileError, match="not implemented"):
-        p.apply_autoscheduler(params={"name": "Li2018"})
+def test_li2018_schedules_gradient_style_pipeline():
+    """Li2018 template (reference: li2018/GradientAutoscheduler.cpp
+    apply_schedule @573): compute_root + loop marks per func, and rfactor'd
+    reduction parallelism for a small-pure-domain associative update —
+    the exact shape reverse-mode autodiff emits (a scalar loss reduced
+    over a big domain, lesson_26)."""
+    x = hl.Var("x")
+    img = hl.ImageParam(hl.Float(32), 1, "li_in")
+    sq = hl.Func("li_sq")
+    sq[x] = img[x] * img[x]
+    r = hl.RDom(0, 4096)
+    loss = hl.Func("li_loss")
+    loss[x] = 0.0
+    loss[x] += sq[r.x]
+    loss.set_estimates([(0, 1)])
+    p = hl.Pipeline(loss)
+    res = p.apply_autoscheduler(params={"name": "Li2018"})
+    src = res["schedule_source"]
+    assert "li_loss.compute_root()" in src, src
+    # the 1-point pure domain forces the rfactor path (reference @599-684)
+    assert "rfactor" in src and ".split(" in src, src
+    data = np.arange(4096, dtype=np.float32) / 4096.0
+    img.set(data)
+    out = p.realize([1]).to_numpy()
+    np.testing.assert_allclose(out, [(data * data).sum()], rtol=1e-4)
+
+
+def test_li2018_large_pure_domain_no_rfactor():
+    """A wide pure domain already parallelizes; Li2018 must not rfactor."""
+    x, y = hl.Var("x"), hl.Var("y")
+    img = hl.ImageParam(hl.Float(32), 2, "li2_in")
+    r = hl.RDom(0, 16)
+    acc = hl.Func("li2_acc")
+    acc[x, y] = 0.0
+    acc[x, y] += img[x, hl.clamp(y + r.x, 0, 127)]
+    acc.set_estimates([(0, 512), (0, 128)])
+    p = hl.Pipeline(acc)
+    res = p.apply_autoscheduler(params={"name": "Li2018"})
+    src = res["schedule_source"]
+    assert "rfactor" not in src, src
+    assert "li2_acc.compute_root()" in src
+    rng = np.random.default_rng(0)
+    data = rng.standard_normal((128, 512)).astype(np.float32)
+    img.set(data)
+    out = p.realize([512, 128]).to_numpy()
+    idx = np.clip(np.arange(128)[:, None] + np.arange(16)[None, :], 0, 127)
+    ref = data[idx, :].sum(axis=1)
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)

@@ -270,6 +270,54 @@ def test_compute_with_forms_one_fused_group():
         P._evaluate_func = orig
 
 
+def test_compute_with_align_variants():
+    """AlignStart/AlignEnd with misaligned sibling extents (reference:
+    src/Schedule.h:139-152, ScheduleFunctions.cpp:303-356). The reference
+    shifts iteration spaces and guards each stage to its own box, so values
+    are identical across all variants; here every variant must (a) produce
+    correct values with the siblings covering DIFFERENT extents, (b) be
+    recorded on the schedule, and (c) round-trip through serialization."""
+    from halide_tpu import LoopAlignStrategy as LAS
+
+    for align in (None, LAS.AlignStart, LAS.AlignEnd, LAS.NoAlign,
+                  {"x": LAS.AlignStart, "y": LAS.AlignEnd}):
+        x, y = hl.Var("x"), hl.Var("y")
+        a, b, c = hl.Func("cwa_a"), hl.Func("cwa_b"), hl.Func("cwa_c")
+        a[x, y] = x + y
+        b[x, y] = x * y
+        a.compute_root()
+        b.compute_root()
+        a.compute_with(b, x, align=align)
+        # misaligned extents: c reads a over [1,6) x [0,4) but b over
+        # [0,3) x [1,4)
+        c[x, y] = a[x + 1, y] + b[x, y + 1]
+        out = c.realize([5, 3]).to_numpy()
+        xs, ys = np.arange(5), np.arange(3)[:, None]
+        np.testing.assert_array_equal(out, (xs + 1 + ys) + xs * (ys + 1))
+        rec = a._defs[0].schedule.fused_with[0]
+        assert rec[1] == "x"
+        want = (LAS.Auto if align is None
+                else align if isinstance(align, LAS) else align["x"])
+        assert rec[2]["x"] is want
+        # serialization round-trip preserves the fused pair + alignment
+        p2, _imgs, _pars = hl.deserialize_pipeline(
+            hl.serialize_pipeline(hl.Pipeline(c)))
+        out2 = p2.realize([5, 3])
+        np.testing.assert_array_equal(np.asarray(out2), out)
+
+    # invalid align values are rejected, not dropped
+    x = hl.Var("x")
+    f, g = hl.Func("cwa_f"), hl.Func("cwa_g")
+    f[x] = x
+    g[x] = x * 2
+    f.compute_root()
+    g.compute_root()
+    with pytest.raises(hl.CompileError, match="align"):
+        f.compute_with(g, x, align="Sideways")
+    with pytest.raises(hl.CompileError, match="align"):
+        f.compute_with(g, x, align={"nope": None})
+
+
 def test_compute_with_rejects_dependent_stages():
     x = hl.Var("x")
     a, b = hl.Func("cwd_a"), hl.Func("cwd_b")
