@@ -222,12 +222,19 @@ def off_resolve(v, ctx: "Ctx"):
 
 
 def axis_array(ax: Axis, ctx: Ctx):
-    # NOTE: a broadcasted_iota variant for kernels was tried (to avoid
-    # (1,N)->(N,1,1) shape casts Mosaic rejects in SOME kernels) but it
-    # destabilized previously-proven kernels on the real backend; the
-    # arange+reshape form is the known-good baseline
+    # NOTE: a blanket broadcasted_iota variant for kernels was tried (to
+    # avoid (1,N)->(N,1,1) shape casts Mosaic rejects in SOME kernels) but
+    # it destabilized previously-proven kernels on the real backend; the
+    # arange+reshape form is the known-good baseline for the minor two
+    # dims. For axes ABOVE the (sublane, lane) pair the reshape is the
+    # very shape cast Mosaic's infer-vector-layout rejects, so those (and
+    # only those) lower as a native tpu.iota via broadcasted_iota.
     shape = _shape_at(ctx.ndim, ax.rpos, ax.extent)
-    a = jnp.arange(0, ax.extent, dtype=jnp.int32).reshape(shape)
+    if getattr(ctx, "in_kernel", False) and ax.rpos >= 2 and ax.extent > 1:
+        a = jax.lax.broadcasted_iota(jnp.int32, shape,
+                                     ctx.ndim - 1 - ax.rpos)
+    else:
+        a = jnp.arange(0, ax.extent, dtype=jnp.int32).reshape(shape)
     mn = off_resolve(ax.min, ctx)
     if _is_static(mn):
         if mn:
@@ -376,7 +383,7 @@ def _eval(e: Expr, ctx: Ctx):
         c = eval_array(e.cond, ctx)
         t = eval_array(e.true_value, ctx)
         f = eval_array(e.false_value, ctx)
-        return jnp.where(c, t, f)
+        return _kwhere(c, t, f, ctx, dst=_np_dtype(e.dtype))
     if isinstance(e, E.Call):
         return _eval_call(e, ctx)
     if isinstance(e, E.Intrin):
@@ -537,6 +544,41 @@ def _floor_div_const(am, c: int, t: Type):
     return q.astype(_np_dtype(t))
 
 
+def _kastype(v, dst, ctx):
+    """Kernel-safe astype. Inside a Pallas kernel, Mosaic's convert
+    lowering has NO unsigned<->float at any width and no narrow
+    float->int; route those through i32 (exact for 8/16-bit ranges and
+    u32 values < 2^31 -- the framework's unsigned pipelines stay within
+    that). Outside kernels this is a plain astype.
+    (Mirrors ops/pallas_group._kcast, which serves the kernel emitter's
+    own store paths; this one serves expression evaluation.)"""
+    dst = np.dtype(dst)
+    if not (getattr(ctx, "in_kernel", False) and hasattr(v, "dtype")):
+        return v.astype(dst)
+    src = np.dtype(v.dtype)
+    if src == dst:
+        return v
+    if src.kind in "iu" and dst.kind == "f" \
+            and (src.itemsize <= 2 or src.kind == "u"):
+        return v.astype(jnp.int32).astype(dst)
+    if src.kind == "f" and dst.kind in "iu" \
+            and (dst.itemsize <= 2 or dst.kind == "u"):
+        return v.astype(jnp.int32).astype(dst)
+    return v.astype(dst)
+
+
+def _kwhere(c, t, f, ctx, dst=None):
+    """Kernel-safe select. Mosaic has no 8-bit vector select_n; widen the
+    branches to i32 and truncate back (value-identical)."""
+    if getattr(ctx, "in_kernel", False) and (_is_narrow8(t) or _is_narrow8(f)):
+        if dst is None:
+            dst = getattr(t, "dtype", None) or getattr(f, "dtype")
+        r = jnp.where(c, jnp.asarray(t).astype(jnp.int32),
+                      jnp.asarray(f).astype(jnp.int32))
+        return r.astype(np.dtype(dst))
+    return jnp.where(c, t, f)
+
+
 def _eval_binary(e: E.Binary, ctx: Ctx):
     if e.op == "add" and e.dtype.is_float():
         r = _try_linear_shift_rewrite(e, ctx)
@@ -551,6 +593,31 @@ def _eval_binary(e: E.Binary, ctx: Ctx):
             return r
     am = materialize(a, ctx)
     bm = materialize(b, ctx)
+    if getattr(ctx, "in_kernel", False):
+        w8a, w8b = _is_narrow8(am), _is_narrow8(bm)
+        if w8a or w8b:
+            # Mosaic vector arithmetic exists only at >=16 bits ("Only
+            # vector<i16> and vector<i32> are supported, but got 'i8'");
+            # widen to i32, compute, truncate back. mod-2^8 truncation IS
+            # the 8-bit wrapping semantics, and zero/sign extension
+            # preserves order for min/max/compares.
+            am = am.astype(jnp.int32) if w8a else am
+            bm = bm.astype(jnp.int32) if w8b else bm
+            r = _apply_binop(e, am, bm, ctx)
+            if e.dtype.is_integer() and e.dtype.bits == 8 \
+                    and hasattr(r, "astype"):
+                r = r.astype(_np_dtype(e.dtype))
+            return r
+    return _apply_binop(e, am, bm, ctx)
+
+
+def _is_narrow8(v):
+    return (hasattr(v, "dtype") and getattr(v, "ndim", 0) > 0
+            and np.dtype(v.dtype).kind in "iu"
+            and np.dtype(v.dtype).itemsize == 1)
+
+
+def _apply_binop(e: E.Binary, am, bm, ctx: Ctx):
     op = e.op
     if op == "add":
         return am + bm
@@ -614,10 +681,20 @@ def _eval_binary(e: E.Binary, ctx: Ctx):
         return jnp.logical_and(am, bm)
     if op == "or":
         return jnp.logical_or(am, bm)
-    if op == "shl":
-        return jnp.left_shift(am, bm.astype(am.dtype) if hasattr(bm, "astype") else bm)
-    if op == "shr":
-        return jnp.right_shift(am, bm.astype(am.dtype) if hasattr(bm, "astype") else bm)
+    if op in ("shl", "shr"):
+        shift = jnp.left_shift if op == "shl" else jnp.right_shift
+        if getattr(ctx, "in_kernel", False) and hasattr(am, "dtype") \
+                and np.dtype(am.dtype).kind in "iu" \
+                and np.dtype(am.dtype).itemsize <= 2:
+            # Mosaic cannot legalize narrow vector shifts (arith.shrui on
+            # i16); widen to i32 (zero/sign-extends per signedness, so a
+            # logical shift of unsigned and an arithmetic shift of signed
+            # both come out exact) and truncate back (wrap semantics)
+            wb = bm.astype(jnp.int32) if hasattr(bm, "astype") else bm
+            return shift(am.astype(jnp.int32), wb) \
+                .astype(_np_dtype(e.dtype))
+        return shift(am, bm.astype(am.dtype) if hasattr(bm, "astype")
+                     else bm)
     if op == "bitand":
         return jnp.bitwise_and(am, bm)
     if op == "bitor":
@@ -771,7 +848,7 @@ def _kernel_repeat(P, div, npax, ctx: Ctx):
         cols = jax.lax.broadcasted_iota(jnp.int32, (n * div, n), 1)
         Rj = (cols == _floor_div_const(rows, div, Int(32))) \
             .astype(jnp.float32)
-        Pf = P.astype(jnp.float32)
+        Pf = _kastype(P, jnp.float32, ctx)
         lead = P.shape[:nd - 2]
 
         def rec(idx):
@@ -782,7 +859,7 @@ def _kernel_repeat(P, div, npax, ctx: Ctx):
             return jnp.stack([rec(idx + (i,))
                               for i in range(lead[len(idx)])])
 
-        return rec(()).astype(P.dtype)
+        return _kastype(rec(()), P.dtype, ctx)
     # leading axis (or wide int): unrolled concat of static slices
     sls = []
     for k in range(n):
@@ -1293,6 +1370,10 @@ def _slice_read(P, real: Realized, args, ctx: Ctx):
         newshape[ctx.ndim - 1 - ax.rpos] = Q.shape[npax]
     # order Q's kept axes by their destination order
     order = [s for _, s in sorted(zip(perm_dst, perm_src))]
+    if not perm_src:
+        # fully-constant read: reshape, never squeeze to a scalar (Mosaic
+        # requires 32-bit element types for vector->scalar)
+        return Q.reshape(newshape)
     squeeze_axes = tuple(a for a in range(nd) if a not in perm_src)
     if squeeze_axes:
         Q = jnp.squeeze(Q, axis=squeeze_axes)
@@ -1332,6 +1413,11 @@ def _place_axes(Q, out_axes, nd, ctx: Ctx):
         perm_dst.append(ctx.ndim - 1 - ax.rpos)
         newshape[ctx.ndim - 1 - ax.rpos] = Q.shape[npax]
     order = [s for _, s in sorted(zip(perm_dst, perm_src))]
+    if not perm_src:
+        # fully-constant read (a 1-element window): reshape directly --
+        # squeezing to a scalar trips Mosaic's 32-bit-only scalar rule
+        # for narrow dtypes, and no scalar needs to materialize
+        return Q.reshape(newshape)
     squeeze_axes = tuple(a for a in range(nd) if a not in perm_src)
     if squeeze_axes:
         Q = jnp.squeeze(Q, axis=squeeze_axes)
@@ -2432,15 +2518,15 @@ def _eval_intrin(e: E.Intrin, ctx: Ctx):
         t = e.dtype
         wt = e.args[2].dtype
         if wt.is_uint() and not wt.is_bool():
-            w = w.astype(jnp.float32) / float((1 << wt.bits) - 1)
+            w = _kastype(w, jnp.float32, ctx) / float((1 << wt.bits) - 1)
         if wt.is_bool():
             return jnp.where(w, one, zero)
         if t.is_float():
             return zero * (1.0 - w) + one * w
-        zf = zero.astype(jnp.float32)
-        of = one.astype(jnp.float32)
+        zf = _kastype(zero, jnp.float32, ctx)
+        of = _kastype(one, jnp.float32, ctx)
         r = zf * (1.0 - w) + of * w
-        return jnp.round(r).astype(_np_dtype(t))
+        return _kastype(jnp.round(r), _np_dtype(t), ctx)
     if n == "saturating_cast":
         v = eval_array(e.args[0], ctx)
         t = e.dtype
@@ -2471,7 +2557,11 @@ def _eval_intrin(e: E.Intrin, ctx: Ctx):
                                    v.astype(jnp.int32))
                 return jnp.maximum(wide32, jnp.int32(lo32)) \
                     .astype(_np_dtype(t))
-            return jnp.clip(wide32, lo32, hi32).astype(_np_dtype(t))
+            # int32-typed bounds: with x64 on, bare Python ints trace as
+            # weak-i64 scalars, and Mosaic's convert lowering recurses on
+            # i64->i32 (uncatchably, at backend compile time)
+            return jnp.clip(wide32, jnp.int32(lo32),
+                            jnp.int32(hi32)).astype(_np_dtype(t))
         # integer -> integer: clip in a wide signed space
         wide = v.astype(jnp.int64)
         wide = jnp.clip(wide, int(lo), min(int(hi), (1 << 62)))

@@ -1262,8 +1262,13 @@ def _lower_group_single(f: Func, box: Box, ctx0: Ctx, graph, boxes,
             axes = {}
             for i, v in enumerate(fn._defs[0].args):
                 axes[v.name] = Axis(v.name, i, fmins[i], fext[i])
+            # in_kernel ALSO under interpret=True: the interpret path must
+            # trace the exact program Mosaic would get (kernel-safe casts,
+            # widened 8-bit arith, iota forms), or CPU tests prove nothing
+            # about TPU compilability -- the round-3 "correct under
+            # interpret, rejected by Mosaic at canonical size" trap.
             return Ctx(fn.dimensions(), axes, {}, realz, ctx0.params,
-                       sym_vals=sym_vals, in_kernel=not interpret)
+                       sym_vals=sym_vals, in_kernel=True)
 
         for m in members:
             bb = fp_t.boxes[id(m)]

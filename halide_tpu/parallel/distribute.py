@@ -157,8 +157,12 @@ def _distributed_spatial(pipeline, sizes, mesh: Mesh, axis_name: str,
     replicated); inputs whose footprint is shard-independent are
     replicated whole. Multi-output pipelines shard every output along its
     own dim of the same name (they must all carry it at the same index).
-    Returns per-output global arrays (numpy axis order), sharded
-    P(axis_name) along the distributed dim."""
+    Non-divisible extents shard at ceil(H/n): sharded inputs are
+    edge-padded to n*s (repeat_edge, matching the global-edge halo
+    semantics) and outputs are cropped back to H — the SPMD analog of the
+    RoundUp tail strategy (every shard runs the same program; the pad is
+    at most n-1 rows of overcompute on the last shard). Tuple-valued
+    outputs return one tuple of global arrays per output."""
     from ..buffer import Buffer, ImageParam
     from ..bounds import Box, Interval
     from ..expr import CompileError
@@ -172,19 +176,12 @@ def _distributed_spatial(pipeline, sizes, mesh: Mesh, axis_name: str,
             raise CompileError(
                 f"distribute: output {fo.name} must carry dim "
                 f"{var_name!r} at position {dim}")
-    for fo in pipeline.outputs:
-        if len(fo._defs[0].values) != 1:
-            raise CompileError(
-                "distribute: tuple-valued outputs not supported (v2)")
     nd = out_f.dimensions()
     if isinstance(sizes, int):
         sizes = [sizes]
     H = int(sizes[dim])
-    if H % n != 0:
-        raise CompileError(
-            f"distribute: extent {H} of dim {dim} not divisible by "
-            f"mesh axis {axis_name}={n}")
-    s = H // n
+    s = -(-H // n)          # ceil: uneven extents pad up, crop after
+    Hpad = s * n
 
     # Halo inference: footprint-probe several shards and take per-side
     # maxima. No single shard is reliable — an edge shard's footprint is
@@ -193,13 +190,16 @@ def _distributed_spatial(pipeline, sizes, mesh: Mesh, axis_name: str,
     # supplies the true high-side halo, the last shard the low-side halo,
     # and a middle shard (when one exists) both.
     full_box = Box([Interval(0, int(sz) - 1) for sz in sizes])
-    probe_idx = sorted({0, n // 2, n - 1})
+    # probe only shards that intersect the REAL domain [0, H): with
+    # uneven extents the trailing shard(s) may be pure pad
+    last_real = (H - 1) // s
+    probe_idx = sorted({0, min(n // 2, last_real), last_real})
     g = None
     probes = []      # (shard_lo, {id(input): Box})
     for pi in probe_idx:
         lo = pi * s
         dims = list(full_box.dims)
-        dims[dim] = Interval(lo, lo + s - 1)
+        dims[dim] = Interval(lo, min(lo + s - 1, H - 1))
         gi, fp = _input_footprints(
             pipeline, {id(fo): Box(list(dims))
                        for fo in pipeline.outputs})
@@ -281,20 +281,47 @@ def _distributed_spatial(pipeline, sizes, mesh: Mesh, axis_name: str,
                 x = jnp.concatenate(parts, axis=npax)
             locals_.append(x)
         out = fn(tuple(locals_), presets)
-        # run() returns per-output tuples of value arrays (single-value
-        # checked above): flatten to one array per output
-        return tuple(vals[0] for vals in out)
+        # run() returns per-output tuples of value arrays: flatten
+        # (tuple-valued Funcs contribute one array per tuple member)
+        return tuple(v for vals in out for v in vals)
 
     out_specs = []
     for fo in pipeline.outputs:
         ndo = fo.dimensions()
         spec = [None] * ndo
         spec[ndo - 1 - dim] = axis_name
-        out_specs.append(P(*spec))
+        for _v in fo._defs[0].values:
+            out_specs.append(P(*spec))
     jf = jax.jit(shard_map(shard_fn, mesh=mesh,
                            in_specs=tuple(in_specs),
                            out_specs=tuple(out_specs)))
-    return list(jf(*[buf.data for (_t, buf, *_rest) in plans]))
+
+    def feed(buf, sharded, npax):
+        x = buf.data
+        if sharded and Hpad > H:
+            # repeat_edge padding up to n*s (matches the global-edge
+            # halo semantics; padded output rows are cropped below)
+            sl = [slice(None)] * x.ndim
+            sl[npax] = slice(x.shape[npax] - 1, x.shape[npax])
+            edge = x[tuple(sl)]
+            shape = list(x.shape)
+            shape[npax] = Hpad - H
+            x = jnp.concatenate(
+                [x, jnp.broadcast_to(edge, tuple(shape))], axis=npax)
+        return x
+
+    flat = list(jf(*[feed(buf, sharded, npax)
+                     for (_t, buf, sharded, _hl, _hh, npax) in plans]))
+    results = []
+    for fo in pipeline.outputs:
+        nvals = len(fo._defs[0].values)
+        vals, flat = flat[:nvals], flat[nvals:]
+        if Hpad > H:
+            npax_o = fo.dimensions() - 1 - dim
+            vals = [jax.lax.slice_in_dim(v, 0, H, axis=npax_o)
+                    for v in vals]
+        results.append(vals[0] if nvals == 1 else tuple(vals))
+    return results
 
 
 def _static_rint(e):

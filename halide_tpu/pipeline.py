@@ -660,8 +660,13 @@ class Pipeline:
             var_name, axis_name = dist
             datas = distributed_realize(self, sizes, mesh, axis_name,
                                         var_name)
-            bufs = [Buffer(d, name=f.name)
-                    for f, d in zip(self.outputs, datas)]
+            bufs = []
+            for f, d in zip(self.outputs, datas):
+                if isinstance(d, tuple):   # tuple-valued Func
+                    bufs.append(Realization(
+                        [Buffer(v, name=f.name) for v in d]))
+                else:
+                    bufs.append(Buffer(d, name=f.name))
             return bufs[0] if len(bufs) == 1 else Realization(bufs)
         # target feature wiring (reference: Target.h features + JIT env)
         tr_installed = False

@@ -30,8 +30,9 @@ import jax.numpy as jnp
 from . import expr as E
 from .bounds import BoundsEngine, Interval
 from .expr import CompileError, Expr
-from .eval_jnp import (AVal, Axis, Ctx, Realized, _static_int, eval_array,
-                       evaluate, full_shape, materialize)
+from .eval_jnp import (AVal, Axis, Ctx, Realized, _static_int, _kastype,
+                       _kwhere, eval_array, evaluate, full_shape,
+                       materialize)
 from .ops import onehot_mxu
 from .visitors import exprs_equal, mutate, substitute, walk
 
@@ -250,9 +251,11 @@ def _dense_overwrite(func, d, current, base_ctx: Ctx):
             out.append(current[i])
             continue
         arr = eval_array(v, base_ctx)
-        arr = jnp.broadcast_to(arr, shape).astype(current[i].dtype)
+        arr = _kastype(jnp.broadcast_to(arr, shape), current[i].dtype,
+                       base_ctx)
         if mask is not None:
-            arr = jnp.where(jnp.broadcast_to(mask, shape), arr, current[i])
+            arr = _kwhere(jnp.broadcast_to(mask, shape), arr, current[i],
+                          base_ctx)
         out.append(arr)
     return out
 
@@ -291,7 +294,8 @@ def _try_dense_combine(func, d, current, base_ctx: Ctx, rdom_axes):
             for a in rdom_axes:
                 bind[a.name] = AVal({}, a.min + a.extent - 1)
             arr = eval_array(g, base_ctx.with_bindings(bind))
-            out.append(jnp.broadcast_to(arr, shape).astype(current[i].dtype))
+            out.append(jnp.broadcast_to(
+                _kastype(arr, current[i].dtype, base_ctx), shape))
             continue
         taps = 1
         for a in rdom_axes:
@@ -321,7 +325,7 @@ def _try_dense_combine(func, d, current, base_ctx: Ctx, rdom_axes):
                 _last_reduce_path[func.name] = path
                 red = red.reshape(red.shape[-base_ctx.ndim:]) if \
                     red.ndim > base_ctx.ndim else red
-                nv = current[i] + red.astype(current[i].dtype)
+                nv = current[i] + _kastype(red, current[i].dtype, base_ctx)
                 out.append(jnp.broadcast_to(nv, shape))
                 continue
         if op in _COMBINE_OPS and (unroll_forced
@@ -359,7 +363,7 @@ def _try_dense_combine(func, d, current, base_ctx: Ctx, rdom_axes):
                     else:
                         acc = jnp.maximum(acc, v)
                 _last_reduce_path[func.name] = "unrolled"
-                red = jnp.asarray(acc).astype(current[i].dtype)
+                red = _kastype(jnp.asarray(acc), current[i].dtype, base_ctx)
                 red = red.reshape(red.shape[-base_ctx.ndim:]) if \
                     red.ndim > base_ctx.ndim else red
                 cur = current[i]
@@ -402,7 +406,7 @@ def _try_dense_combine(func, d, current, base_ctx: Ctx, rdom_axes):
             red = jnp.max(garr, axis=red_axes, keepdims=True)
         red = red.reshape(red.shape[-base_ctx.ndim:]) if red.ndim > \
             base_ctx.ndim else red
-        red = red.astype(current[i].dtype)
+        red = _kastype(red, current[i].dtype, base_ctx)
         cur = current[i]
         if op == "add":
             nv = cur + red

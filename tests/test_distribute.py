@@ -278,3 +278,109 @@ def test_distribute_multi_output():
                                rtol=1e-6)
     np.testing.assert_allclose(np.asarray(out[1].to_numpy()), ref2,
                                rtol=1e-6)
+
+
+def test_distribute_uneven_extent():
+    # non-divisible extents: ceil-sized shards, repeat_edge input padding,
+    # outputs cropped back -- the SPMD RoundUp tail. H=52 over 8 devices
+    # means 7-row shards with a 4-row pad on the last one.
+    import jax
+    from jax.sharding import Mesh
+
+    import halide_tpu as hl
+    n = min(8, len(jax.devices()))
+    if n < 2:
+        pytest.skip("needs >=2 devices")
+    W, H = 16, 7 * n - 4
+    rng = np.random.default_rng(21)
+    img = rng.random((H, W)).astype(np.float32)
+
+    def build():
+        x, y = hl.Var("x"), hl.Var("y")
+        inp = hl.ImageParam(hl.Float(32), 2, "ue_in")
+        inp.set(img)
+        cl = hl.repeat_edge(inp)
+        f = hl.Func("ue_out")
+        f[x, y] = (cl[x, y - 1] + cl[x, y] + cl[x, y + 1]) / 3.0
+        return f
+
+    ref = np.asarray(hl.Pipeline(build()).realize([W, H]).to_numpy())
+    f2 = build()
+    f2.distribute(f2._args[1], "shards")
+    mesh = Mesh(np.array(jax.devices()[:n]), ("shards",))
+    out = hl.Pipeline(f2).realize([W, H], mesh=mesh).to_numpy()
+    assert np.asarray(out).shape == (H, W)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-6, atol=1e-6)
+
+
+def test_distribute_tuple_output():
+    # tuple-valued output Func: each tuple member is a sharded global
+    # array; realize(mesh=...) packages them as a Realization
+    import jax
+    from jax.sharding import Mesh
+
+    import halide_tpu as hl
+    n = min(4, len(jax.devices()))
+    if n < 2:
+        pytest.skip("needs >=2 devices")
+    W, H = 16, 8 * n
+    rng = np.random.default_rng(22)
+    img = rng.random((H, W)).astype(np.float32)
+
+    def build():
+        x, y = hl.Var("x"), hl.Var("y")
+        inp = hl.ImageParam(hl.Float(32), 2, "tp_in")
+        inp.set(img)
+        cl = hl.repeat_edge(inp)
+        f = hl.Func("tp_out")
+        f[x, y] = (cl[x, y - 1] + cl[x, y + 1], cl[x, y] * 3.0)
+        return f
+
+    pr = hl.Pipeline(build()).realize([W, H])
+    ref0 = np.asarray(pr[0].to_numpy())
+    ref1 = np.asarray(pr[1].to_numpy())
+
+    f2 = build()
+    f2.distribute(f2._args[1], "shards")
+    mesh = Mesh(np.array(jax.devices()[:n]), ("shards",))
+    out = hl.Pipeline(f2).realize([W, H], mesh=mesh)
+    np.testing.assert_allclose(np.asarray(out[0].to_numpy()), ref0,
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out[1].to_numpy()), ref1,
+                               rtol=1e-6)
+
+
+def test_distribute_uneven_tuple_combined():
+    # both generalizations at once: 5 devices' worth of rows on a 4-shard
+    # mesh... uneven AND tuple-valued
+    import jax
+    from jax.sharding import Mesh
+
+    import halide_tpu as hl
+    n = min(4, len(jax.devices()))
+    if n < 2:
+        pytest.skip("needs >=2 devices")
+    W, H = 16, 4 * n + 3
+    rng = np.random.default_rng(23)
+    img = rng.random((H, W)).astype(np.float32)
+
+    def build():
+        x, y = hl.Var("x"), hl.Var("y")
+        inp = hl.ImageParam(hl.Float(32), 2, "ut_in")
+        inp.set(img)
+        cl = hl.repeat_edge(inp)
+        f = hl.Func("ut_out")
+        f[x, y] = (cl[x, y + 1] - cl[x, y - 1], cl[x, y] + 1.0)
+        return f
+
+    pr = hl.Pipeline(build()).realize([W, H])
+    ref0 = np.asarray(pr[0].to_numpy())
+    ref1 = np.asarray(pr[1].to_numpy())
+    f2 = build()
+    f2.distribute(f2._args[1], "shards")
+    mesh = Mesh(np.array(jax.devices()[:n]), ("shards",))
+    out = hl.Pipeline(f2).realize([W, H], mesh=mesh)
+    np.testing.assert_allclose(np.asarray(out[0].to_numpy()), ref0,
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out[1].to_numpy()), ref1,
+                               rtol=1e-6, atol=1e-6)
