@@ -119,9 +119,10 @@ AUTOSCHED_SET = ("unsharp", "harris", "wavelet", "gaussian_blur",
 # sub-second bandwidth ops: run after the ranked list, before the autos.
 # EXCLUDED from the headline geomean (they would inflate it relative to
 # earlier rounds' app set); reported per-app only.
-NON_HEADLINE = ("sscal_scopy", "sasum", "sger")
+NON_HEADLINE = ("sscal_scopy", "sasum", "sger", "hgemm")
 for _n in NON_HEADLINE:
     RANK[_n] = 27.2
+RANK["hgemm"] = 21.6   # the MFU headline op: run it before the tail
 for _n in AUTOSCHED_SET:
     # the auto: column is excluded from the headline geomean; three cheap
     # auto rows run BEFORE the BLAS tail so the manual-vs-auto comparison
@@ -303,6 +304,15 @@ def _bench_app(name):
     dt = bench_one(app, chain=base not in NO_CHAIN)
     mps = app.megapixels / dt
     res = {"ms": dt * 1e3, "mp_per_s": mps}
+    if app.flops:
+        # MXU roofline accounting (VERDICT r3 #9): achieved TFLOPS and
+        # model-FLOPs-utilization vs the generation's peak for the matmul
+        # operand dtype (f32 = the exact 6-pass HIGHEST decomposition)
+        from halide_tpu.target import mxu_peak_tflops
+        tflops = app.flops / dt / 1e12
+        res["tflops"] = tflops
+        res["mfu"] = tflops / mxu_peak_tflops(app.flops_dtype)
+        res["mfu_basis"] = app.flops_dtype
     if not autosched and name in REF_CPU_MS:
         # the reference numbers are at the same canonical workload
         # unless REF_MP overrides (blur/camera use their own sizes)
@@ -419,7 +429,8 @@ def _emit(results, ratios, errors, device=""):
     # never eat the geomean (it did in round 3, BENCH_r03.json parsed:null)
     print(json.dumps(dict(
         headline,
-        apps={k: {kk: round(vv, 3) for kk, vv in v.items()
+        apps={k: {kk: (round(vv, 4) if isinstance(vv, float) else vv)
+                  for kk, vv in v.items()
                   if kk not in ("event", "app")}
               for k, v in results.items()},
         errors=errors,
@@ -428,6 +439,9 @@ def _emit(results, ratios, errors, device=""):
     for key_app in ("blur", "bilateral_grid", "camera_pipe"):
         if key_app in results:
             summary[key_app + "_ms"] = round(results[key_app]["ms"], 4)
+    for key_app in ("hgemm", "sgemm", "conv_layer", "resnet_50"):
+        if key_app in results and "mfu" in results[key_app]:
+            summary[key_app + "_mfu"] = round(results[key_app]["mfu"], 3)
     print(json.dumps(summary), flush=True)
 
 

@@ -52,7 +52,8 @@ class App:
     def __init__(self, name, pipeline, inputs, make_inputs, reference,
                  output_sizes, megapixels: Optional[float] = None,
                  tolerance: float = 0.0, atol: Optional[float] = None,
-                 mismatch_frac: float = 0.0):
+                 mismatch_frac: float = 0.0, flops: Optional[float] = None,
+                 flops_dtype: str = "f32"):
         self.name = name
         self.pipeline = pipeline        # halide_tpu.Pipeline
         self.inputs = inputs            # list[ImageParam/Param]
@@ -65,6 +66,12 @@ class App:
         # fraction of pixels allowed to exceed tolerance (int-cast boundary
         # sensitivity under FMA reassociation)
         self.mismatch_frac = mismatch_frac
+        # MXU accounting for the roofline/MFU bench lines: useful FLOPs per
+        # frame (multiply-add = 2) and the matmul operand dtype ("bf16" is
+        # a single MXU pass; "f32" at HIGHEST precision is the exact
+        # 6-pass decomposition, peak/6)
+        self.flops = flops
+        self.flops_dtype = flops_dtype
 
     def bind(self, data: dict):
         from ..buffer import Buffer, ImageParam, Param

@@ -49,7 +49,8 @@ def build(N: int = 5, CI: int = 128, CO: int = 128, W: int = 100,
 
     return App("conv_layer", hl.Pipeline(relu), [inp, filt, bias],
                make_inputs, reference, [CO, W, H, N],
-               megapixels=W * H * N / 1e6, tolerance=1e-3, atol=1e-2)
+               megapixels=W * H * N / 1e6, tolerance=1e-3, atol=1e-2,
+               flops=2.0 * N * H * W * CO * CI * 9, flops_dtype="f32")
 
 
 @register("depthwise_separable_conv")

@@ -39,7 +39,55 @@ def build_sgemm(M: int = 2048, N: int = 2048, K: int = 2048,
                 + f(beta) * C).astype(f)
 
     return App("sgemm", hl.Pipeline(out), [A, B, C], make_inputs, reference,
-               [M, N], megapixels=M * N / 1e6, tolerance=1e-2, atol=1e-2)
+               [M, N], megapixels=M * N / 1e6, tolerance=1e-2, atol=1e-2,
+               flops=2.0 * M * N * K + 3.0 * M * N, flops_dtype="f32")
+
+
+@register("hgemm")
+def build_hgemm(M: int = 2048, N: int = 2048, K: int = 2048,
+                alpha: float = 1.5, beta: float = 0.5, **_ignored) -> App:
+    """bf16 GEMM: bf16 operands (one MXU pass -- the full ~197 TFLOPS peak
+    on v5e), f32 accumulate, f32 epilogue. The MFU headline op (reference
+    peak-pinned baseline: apps/cuda_mat_mul/mat_mul_generator.cpp:24-25)."""
+    i, j = hl.Var("i"), hl.Var("j")
+    A = hl.ImageParam(hl.Float(32), 2, "A")
+    B = hl.ImageParam(hl.Float(32), 2, "B")
+    C = hl.ImageParam(hl.Float(32), 2, "C")
+
+    r = hl.RDom(0, K, "rk")
+    prod = hl.Func("ABh")
+    bf = hl.BFloat(16)
+    prod[i, j] = hl.cast(bf, 0.0)
+    # bf16 factors select the single-pass MXU contraction (the einsum
+    # lowering accumulates in f32 via preferred_element_type; only the
+    # final store rounds to bf16)
+    prod[i, j] += hl.cast(bf, A[i, r.x]) * hl.cast(bf, B[r.x, j])
+    out = hl.Func("hgemm")
+    out[i, j] = alpha * hl.f32(prod[i, j]) + beta * C[i, j]
+
+    def _to_bf16(x):
+        # round-to-nearest-even truncation of the f32 mantissa, so the
+        # device-side bf16 casts are exact
+        u = x.view(np.uint32)
+        r_ = (u + 0x7FFF + ((u >> 16) & 1)) & 0xFFFF0000
+        return r_.astype(np.uint32).view(np.float32)
+
+    def make_inputs(seed=0):
+        rng = np.random.default_rng(seed)
+        return {
+            "A": _to_bf16(rng.standard_normal((K, M)).astype(np.float32)),
+            "B": _to_bf16(rng.standard_normal((N, K)).astype(np.float32)),
+            "C": rng.standard_normal((N, M)).astype(np.float32)}
+
+    def reference(A, B, C):
+        f = np.float32
+        acc = np.einsum("ki,jk->ji", A, B, dtype=f).astype(f)
+        return (f(alpha) * _to_bf16(acc) + f(beta) * C).astype(f)
+
+    return App("hgemm", hl.Pipeline(out), [A, B, C], make_inputs,
+               reference, [M, N], megapixels=M * N / 1e6,
+               tolerance=2e-2, atol=0.5,
+               flops=2.0 * M * N * K + 3.0 * M * N, flops_dtype="bf16")
 
 
 @register("sgemv")

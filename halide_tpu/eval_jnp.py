@@ -567,6 +567,28 @@ def _kastype(v, dst, ctx):
     return v.astype(dst)
 
 
+def _scalar_read(Q, newshape, ctx):
+    """Finalize a fully-constant (1-element window) read.
+
+    In-kernel the value must become a true SCALAR: a rank-n all-ones
+    vector can't be broadcast to a tile later (Mosaic: "Broadcast in both
+    sublanes and lanes" is scalar-only), and vector->scalar squeezes
+    require 32-bit elements -- narrow dtypes round-trip through a 32-bit
+    vector convert first (exact). Outside kernels a (1,)*ndim array
+    broadcasts fine and keeps shapes explicit."""
+    if not getattr(ctx, "in_kernel", False):
+        return Q.reshape(newshape)
+    dt = np.dtype(Q.dtype)
+    q = Q
+    if dt.itemsize != 4:
+        q = q.astype(jnp.int32) if dt.kind in "iub" else \
+            q.astype(jnp.float32)
+    s = q.reshape(())
+    if dt.itemsize != 4:
+        s = s.astype(dt)
+    return s
+
+
 def _kwhere(c, t, f, ctx, dst=None):
     """Kernel-safe select. Mosaic has no 8-bit vector select_n; widen the
     branches to i32 and truncate back (value-identical)."""
@@ -665,17 +687,30 @@ def _apply_binop(e: E.Binary, am, bm, ctx: Ctx):
         return jnp.minimum(am, bm)
     if op == "max":
         return jnp.maximum(am, bm)
-    if op == "eq":
-        return am == bm
-    if op == "ne":
-        return am != bm
-    if op == "lt":
-        return am < bm
-    if op == "le":
-        return am <= bm
-    if op == "gt":
-        return am > bm
-    if op == "ge":
+    if op in ("eq", "ne", "lt", "le", "gt", "ge"):
+        if getattr(ctx, "in_kernel", False):
+            # Mosaic's vector cmpi has no narrow legalization in packed
+            # layouts ("Target does not support this comparison" on
+            # vector<..x2xi16>); widen to i32 (order-preserving)
+            def _wide(v):
+                if hasattr(v, "dtype") and getattr(v, "ndim", 0) > 0 \
+                        and np.dtype(v.dtype).kind in "iu" \
+                        and np.dtype(v.dtype).itemsize <= 2:
+                    return v.astype(jnp.int32)
+                return v
+            wa2, wb2 = _wide(am), _wide(bm)
+            if wa2 is not am or wb2 is not bm:
+                am, bm = wa2, wb2
+        if op == "eq":
+            return am == bm
+        if op == "ne":
+            return am != bm
+        if op == "lt":
+            return am < bm
+        if op == "le":
+            return am <= bm
+        if op == "gt":
+            return am > bm
         return am >= bm
     if op == "and":
         return jnp.logical_and(am, bm)
@@ -1371,9 +1406,7 @@ def _slice_read(P, real: Realized, args, ctx: Ctx):
     # order Q's kept axes by their destination order
     order = [s for _, s in sorted(zip(perm_dst, perm_src))]
     if not perm_src:
-        # fully-constant read: reshape, never squeeze to a scalar (Mosaic
-        # requires 32-bit element types for vector->scalar)
-        return Q.reshape(newshape)
+        return _scalar_read(Q, newshape, ctx)
     squeeze_axes = tuple(a for a in range(nd) if a not in perm_src)
     if squeeze_axes:
         Q = jnp.squeeze(Q, axis=squeeze_axes)
@@ -1414,10 +1447,7 @@ def _place_axes(Q, out_axes, nd, ctx: Ctx):
         newshape[ctx.ndim - 1 - ax.rpos] = Q.shape[npax]
     order = [s for _, s in sorted(zip(perm_dst, perm_src))]
     if not perm_src:
-        # fully-constant read (a 1-element window): reshape directly --
-        # squeezing to a scalar trips Mosaic's 32-bit-only scalar rule
-        # for narrow dtypes, and no scalar needs to materialize
-        return Q.reshape(newshape)
+        return _scalar_read(Q, newshape, ctx)
     squeeze_axes = tuple(a for a in range(nd) if a not in perm_src)
     if squeeze_axes:
         Q = jnp.squeeze(Q, axis=squeeze_axes)

@@ -105,6 +105,39 @@ def get_host_target() -> Target:
     return Target(arch=_host_cache.arch, generation=_host_cache.generation)
 
 
+# ---------------------------------------------------------------------------
+# Per-generation hardware peaks for the roofline/MFU accounting
+# (reference point: apps/cuda_mat_mul pins its baseline to device peak the
+# same way). Sources: published TPU spec sheets. The f32 "peak" is the
+# HIGHEST-precision 6-pass MXU decomposition (exact f32 products emulated
+# from bf16 passes), i.e. bf16_peak / 6 — measured sgemm lands on it.
+# ---------------------------------------------------------------------------
+MXU_PEAK_TFLOPS_BF16 = {
+    "v4": 275.0, "v5e": 197.0, "v5p": 459.0, "v6e": 918.0,
+    "generic": 197.0,
+}
+HBM_GBPS = {
+    "v4": 1228.0, "v5e": 819.0, "v5p": 2765.0, "v6e": 1640.0,
+    "generic": 819.0,
+}
+F32_PASSES = 6   # HIGHEST: exact f32 via 6 bf16 MXU passes
+
+
+def mxu_peak_tflops(dtype: str = "bf16", generation: str = None) -> float:
+    """Peak MXU TFLOPS for the given matmul operand dtype on the host (or
+    named) TPU generation."""
+    gen = generation or get_host_target().generation
+    peak = MXU_PEAK_TFLOPS_BF16.get(gen, MXU_PEAK_TFLOPS_BF16["generic"])
+    if dtype in ("f32", "float32"):
+        return peak / F32_PASSES
+    return peak
+
+
+def hbm_gbps(generation: str = None) -> float:
+    gen = generation or get_host_target().generation
+    return HBM_GBPS.get(gen, HBM_GBPS["generic"])
+
+
 def get_target_from_environment() -> Target:
     s = os.environ.get("HL_TARGET", "host")
     return Target(s if s != "host" else None)

@@ -149,6 +149,20 @@ def test_sgemm():
     check("sgemm", M=128, N=96, K=64)
 
 
+def test_hgemm():
+    # bf16 single-pass MXU GEMM with f32 accumulate/epilogue
+    check("hgemm", M=128, N=96, K=64)
+
+
+def test_hgemm_flops_accounting():
+    app = get("hgemm")(M=128, N=96, K=64)
+    assert app.flops == 2.0 * 128 * 96 * 64 + 3.0 * 128 * 96
+    assert app.flops_dtype == "bf16"
+    from halide_tpu.target import mxu_peak_tflops
+    assert mxu_peak_tflops("bf16", "v5e") == 197.0
+    assert mxu_peak_tflops("f32", "v5e") == pytest.approx(197.0 / 6)
+
+
 def test_sgemv():
     check("sgemv", M=64, N=128)
 
