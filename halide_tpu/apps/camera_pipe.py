@@ -195,14 +195,13 @@ def build(out_width: int = 2560, out_height: int = 1920,
     # (reference: apps/camera_pipe/camera_pipe_generator.cpp:383-422 --
     # the CPU schedule likewise computes the per-tile back half at tiles
     # of the output with the half-res planes computed ahead.)
-    # OPT-IN (HALIDE_TPU_CP_KERNEL=1): bit-exact in interpret mode; the
-    # Mosaic lowering still dies in an i64 convert recursion at execute
-    # time on the real backend (under diagnosis; execute-time failures
-    # cannot fall back). Default stays the fused-XLA ISP (bit-exact,
-    # ~1.9 ms = 2.6x the reference CPU anchor).
+    # Default ON (HALIDE_TPU_CP_KERNEL=0 opts out): the plan-time probe
+    # (`pallas_group._probe_full_kernel`) backend-compiles the exact
+    # kernel first and falls back to the fused-XLA ISP on reject, so a
+    # Mosaic failure can never surface at execute time.
     import os
     if W % 256 == 0 and H % 64 == 0 and \
-            os.environ.get("HALIDE_TPU_CP_KERNEL"):
+            os.environ.get("HALIDE_TPU_CP_KERNEL", "1") != "0":
         xo, yo, xin, yin = (hl.Var("xo"), hl.Var("yo"),
                             hl.Var("xin"), hl.Var("yin"))
         processed.tile(x, y, xo, yo, xin, yin, 256, 64) \

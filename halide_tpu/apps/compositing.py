@@ -103,11 +103,12 @@ def build(width: int = 1536, height: int = 2560) -> App:
     # masked update chain evaluates in-kernel (apply_update with the
     # kernel ctx), erasing the per-step HBM materializations.
     # (reference: apps/compositing/compositing_generator.cpp:155-172)
-    # OPT-IN (HALIDE_TPU_CO_KERNEL=1): bit-exact in interpret mode; the
-    # real backend still hits a convert recursion at execute time
+    # Default ON (HALIDE_TPU_CO_KERNEL=0 opts out); diag-verified on TPU
+    # v5e after the 8-bit arith/select/compare widening. The plan-time
+    # probe falls back to fused XLA on any future reject.
     import os
     if width % 256 == 0 and height % 128 == 0 and \
-            os.environ.get("HALIDE_TPU_CO_KERNEL"):
+            os.environ.get("HALIDE_TPU_CO_KERNEL", "1") != "0":
         xo, yo, xi2, yi2 = (hl.Var("xo"), hl.Var("yo"),
                             hl.Var("xi2"), hl.Var("yi2"))
         output.tile(x, y, xo, yo, xi2, yi2, 256, 128) \

@@ -71,12 +71,12 @@ def build(width: int = 1536, height: int = 2560, levels: int = 10) -> App:
     # (reference: apps/interpolate/interpolate_generator.cpp:90-147 --
     # the hand schedule likewise tiles the fine levels and leaves coarse
     # ones at root.)
-    # OPT-IN (HALIDE_TPU_IP_KERNEL=1): correct in interpret mode; the
-    # Mosaic backend still rejects a shape cast in this kernel (under
-    # diagnosis) and execute-time failures cannot fall back
+    # Default ON (HALIDE_TPU_IP_KERNEL=0 opts out); diag-verified on TPU
+    # v5e after broadcasted_iota replaced the (1,N)->(N,1,1) shape cast.
+    # The plan-time probe falls back to fused XLA on any future reject.
     import os
     if width % 256 == 0 and height % 64 == 0 and \
-            os.environ.get("HALIDE_TPU_IP_KERNEL"):
+            os.environ.get("HALIDE_TPU_IP_KERNEL", "1") != "0":
         xo, yo, xin, yin = (hl.Var("xo"), hl.Var("yo"),
                             hl.Var("xin"), hl.Var("yin"))
         normalize.tile(x, y, xo, yo, xin, yin, 256, 64) \

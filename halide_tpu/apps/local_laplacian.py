@@ -120,13 +120,12 @@ def build(width: int = 1536, height: int = 2560, pyramid_levels: int = 8,
     # (reference: apps/local_laplacian/local_laplacian_generator.cpp:
     # 105-139 -- the GPU schedule similarly computes lPyramid levels at
     # tiles of the output.)
-    # OPT-IN (HALIDE_TPU_LL_KERNEL=1): correct in interpret mode, but the
-    # Mosaic lowering still dies in a convert recursion at execute time
-    # on the real backend (under diagnosis) -- an execute-time failure
-    # cannot fall back, so the default stays on the fused-XLA path
+    # Default ON (HALIDE_TPU_LL_KERNEL=0 opts out); diag-verified on TPU
+    # v5e after the weak-i64 clip fix. The plan-time probe falls back to
+    # fused XLA on any future reject.
     import os
     if width % 256 == 0 and height % 64 == 0 and \
-            os.environ.get("HALIDE_TPU_LL_KERNEL"):
+            os.environ.get("HALIDE_TPU_LL_KERNEL", "1") != "0":
         xo, yo, xin, yin = (hl.Var("xo"), hl.Var("yo"),
                             hl.Var("xin"), hl.Var("yin"))
         output.tile(x, y, xo, yo, xin, yin, 256, 64) \

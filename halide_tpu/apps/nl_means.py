@@ -44,9 +44,9 @@ def build(width: int = 1536, height: int = 2560, patch_size: int = 7,
     # erasing two ~190MB materializations per frame at canonical size
     import os
     if width % 256 == 0 and height % 64 == 0 and \
-            os.environ.get("HALIDE_TPU_NLM_KERNEL"):
-        # OPT-IN: correct in interpret mode; Mosaic compile still 500s on
-        # the real backend (execute-time failures cannot fall back)
+            os.environ.get("HALIDE_TPU_NLM_KERNEL", "1") != "0":
+        # Default ON (=0 opts out); diag-verified on TPU v5e (compile
+        # 24s). The plan-time probe falls back to fused XLA on reject.
         xo, yo, xin, yin = (hl.Var("xo"), hl.Var("yo"),
                             hl.Var("xin"), hl.Var("yin"))
         blur_d.tile(x, y, xo, yo, xin, yin, 256, 64) \

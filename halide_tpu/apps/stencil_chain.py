@@ -63,7 +63,7 @@ def build(width: int = 1536, height: int = 2560, stencils: int = 32) -> App:
     # recomputing the accumulated x halos (stage m under anchor s has a
     # 4*(s-m)-column overlap) -- the hardware A/B for the carry
     _slide = os.environ.get("HALIDE_TPU_SC_SLIDE")
-    if (os.environ.get("HALIDE_TPU_SC_KERNEL") or _slide) \
+    if (os.environ.get("HALIDE_TPU_SC_KERNEL", "1") != "0" or _slide) \
             and height % 128 == 0 and width >= 128:
         sc_tx = int(_slide) if _slide and _slide != "1" else (
             512 if _slide else width)

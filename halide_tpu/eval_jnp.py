@@ -639,6 +639,17 @@ def _is_narrow8(v):
             and np.dtype(v.dtype).itemsize == 1)
 
 
+def _kiszero(bm, ctx):
+    """`bm == 0`, widened to i32 in-kernel for narrow integer vectors
+    (Mosaic has no narrow vector cmpi in packed layouts)."""
+    if getattr(ctx, "in_kernel", False) and hasattr(bm, "dtype") \
+            and getattr(bm, "ndim", 0) > 0 \
+            and np.dtype(bm.dtype).kind in "iu" \
+            and np.dtype(bm.dtype).itemsize <= 2:
+        return bm.astype(jnp.int32) == 0
+    return bm == 0
+
+
 def _apply_binop(e: E.Binary, am, bm, ctx: Ctx):
     op = e.op
     if op == "add":
@@ -661,11 +672,12 @@ def _apply_binop(e: E.Binary, am, bm, ctx: Ctx):
         if c is not None and e.dtype.bits <= 16:
             return _floor_div_const(am, c, e.dtype)
         # reference int semantics: floor division, x/0 == 0
-        safe = jnp.where(bm == 0, jnp.ones_like(bm), bm)
+        bz = _kiszero(bm, ctx)
+        safe = jnp.where(bz, jnp.ones_like(bm), bm)
         if ctx.in_kernel:
-            return jnp.where(bm == 0, jnp.zeros_like(am),
+            return jnp.where(bz, jnp.zeros_like(am),
                              _floor_div_arr(am, safe, e.dtype))
-        return jnp.where(bm == 0, jnp.zeros_like(am),
+        return jnp.where(bz, jnp.zeros_like(am),
                          jnp.floor_divide(am, safe))
     if op == "mod":
         if e.dtype.is_float():
@@ -674,15 +686,16 @@ def _apply_binop(e: E.Binary, am, bm, ctx: Ctx):
         if c is not None and e.dtype.bits <= 16:
             q = _floor_div_const(am, c, e.dtype)
             return (am - q * jnp.asarray(c, am.dtype)).astype(am.dtype)
-        safe = jnp.where(bm == 0, jnp.ones_like(bm), bm)
+        bz = _kiszero(bm, ctx)
+        safe = jnp.where(bz, jnp.ones_like(bm), bm)
         if ctx.in_kernel:
             q2 = _floor_div_arr(am, safe, e.dtype)
             r2 = (jnp.asarray(am).astype(jnp.int32)
                   - jnp.asarray(q2).astype(jnp.int32)
                   * jnp.asarray(safe).astype(jnp.int32))
-            return jnp.where(bm == 0, jnp.zeros_like(am),
+            return jnp.where(bz, jnp.zeros_like(am),
                              r2.astype(_np_dtype(e.dtype)))
-        return jnp.where(bm == 0, jnp.zeros_like(am), jnp.mod(am, safe))
+        return jnp.where(bz, jnp.zeros_like(am), jnp.mod(am, safe))
     if op == "min":
         return jnp.minimum(am, bm)
     if op == "max":
@@ -2506,6 +2519,14 @@ def _eval_intrin(e: E.Intrin, ctx: Ctx):
     if n == "absd":
         a = eval_array(e.args[0], ctx)
         b = eval_array(e.args[1], ctx)
+        if getattr(ctx, "in_kernel", False) and hasattr(a, "dtype") \
+                and np.dtype(a.dtype).kind in "iu" \
+                and np.dtype(a.dtype).itemsize <= 2:
+            # narrow-int absd widens to i32 (|a-b| is exact there; Mosaic
+            # has no narrow vector compare) and truncates back
+            r = jnp.abs(a.astype(jnp.int32)
+                        - jnp.asarray(b).astype(jnp.int32))
+            return r.astype(_np_dtype(e.dtype))
         r = jnp.where(a > b, a - b, b - a)
         if e.dtype.is_uint() and not e.args[0].dtype.is_uint():
             r = r.astype(_np_dtype(e.dtype))

@@ -386,6 +386,53 @@ def _nondiv_out_ok(interpret: bool) -> bool:
     return _NONDIV_OK
 
 
+_FULL_PROBE_CACHE: Dict[str, bool] = {}
+
+
+def _probe_full_kernel(call, arrays, tag: str):
+    """Plan-time backend-compile probe of the EXACT kernel about to be
+    emitted (abstract operands, no execute). Mosaic rejections surface
+    HERE -- while the fused-XLA fallback still exists -- instead of at
+    execute time, where nothing can fall back. This is what lets every
+    kernel schedule default ON (ref `src/OffloadGPULoops.h:20`: offload
+    is unconditional; the probe makes it unconditional-with-guarantee).
+
+    The probe compile hits the persistent jax compilation cache (same
+    HLO every process run), so steady-state cost is a cache lookup.
+    Results are memoized per lowered-module hash. Kernels that close
+    over ambient tracers (traced scalar Params) cannot be re-lowered
+    outside their trace; those proceed unprobed (optimistic)."""
+    if _os.environ.get("HALIDE_TPU_EAGER_PROBE", "1") == "0":
+        return
+    import hashlib
+    avals = [jax.ShapeDtypeStruct(a.shape, a.dtype) for a in arrays]
+    try:
+        lowered = jax.jit(lambda *xs: call(*xs)).lower(*avals)
+        key = hashlib.sha1(
+            lowered.as_text().encode("utf-8", "ignore")).hexdigest()
+    except PallasUnsupported:
+        raise
+    except Exception as ex:
+        if "tracer" in f"{type(ex).__name__} {ex}".lower():
+            return      # closes over the ambient trace: cannot probe
+        raise PallasUnsupported(
+            f"kernel probe lowering: {type(ex).__name__}: "
+            f"{str(ex)[:160]}")
+    hit = _FULL_PROBE_CACHE.get(key)
+    if hit is False:
+        raise PallasUnsupported(f"backend rejected kernel (cached): {tag}")
+    if hit:
+        return
+    try:
+        lowered.compile()
+    except Exception as ex:
+        _FULL_PROBE_CACHE[key] = False
+        raise PallasUnsupported(
+            f"backend rejected kernel: {type(ex).__name__}: "
+            f"{str(ex)[:200]}")
+    _FULL_PROBE_CACHE[key] = True
+
+
 def try_pallas_group(f: Func, box: Box, ctx0: Ctx, graph, boxes):
     """Lower f (+ its compute_at producers) to Pallas kernels.
 
@@ -1386,7 +1433,10 @@ def _lower_group_single(f: Func, box: Box, ctx0: Ctx, graph, boxes,
                 vmem_limit_bytes=_VMEM_LIMIT),
             interpret=interpret,
         )
-        result = call(*[a for (_, _, _, _, a, _) in ext_arrays])
+        operand_arrays = [a for (_, _, _, _, a, _) in ext_arrays]
+        if not interpret:
+            _probe_full_kernel(call, operand_arrays, f.name)
+        result = call(*operand_arrays)
     except PallasUnsupported as ex:
         return _reject(f"kernel trace: {ex}")
     except Exception as ex:
