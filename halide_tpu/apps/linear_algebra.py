@@ -11,36 +11,85 @@ import halide_tpu as hl
 from . import App, register
 
 
-@register("sgemm")
-def build_sgemm(M: int = 2048, N: int = 2048, K: int = 2048,
-                alpha: float = 1.5, beta: float = 0.5, **_ignored) -> App:
+def _build_gemm(name: str, dtype, np_dtype, M: int, N: int, K: int,
+                alpha: float, beta: float,
+                transpose_A: bool = False, transpose_B: bool = False,
+                tolerance: float = 1e-2, atol: float = 1e-2) -> App:
+    """General GEMM builder: C = alpha * op(A) @ op(B) + beta * C with
+    the reference's transpose options (apps/linear_algebra/src/
+    blas_l3_generators.cpp GEMMGenerator<T> transpose_A/transpose_B) and
+    f32/f64 element types (f64 is EMULATED on TPU -- correct, slow)."""
     i, j = hl.Var("i"), hl.Var("j")
-    A = hl.ImageParam(hl.Float(32), 2, "A")   # (i, k) -> np [k, i]
-    B = hl.ImageParam(hl.Float(32), 2, "B")   # (k, j) -> np [j, k]
-    C = hl.ImageParam(hl.Float(32), 2, "C")
+    A = hl.ImageParam(dtype, 2, "A")
+    B = hl.ImageParam(dtype, 2, "B")
+    C = hl.ImageParam(dtype, 2, "C")
 
     r = hl.RDom(0, K, "rk")
-    prod = hl.Func("AB")
-    prod[i, j] = 0.0
-    prod[i, j] += A[i, r.x] * B[r.x, j]
-    out = hl.Func("sgemm")
-    out[i, j] = alpha * prod[i, j] + beta * C[i, j]
+    prod = hl.Func(f"{name}_AB")
+    prod[i, j] = hl.cast(dtype, 0.0)
+    a_read = A[r.x, i] if transpose_A else A[i, r.x]
+    b_read = B[j, r.x] if transpose_B else B[r.x, j]
+    prod[i, j] += a_read * b_read
+    out = hl.Func(name)
+    out[i, j] = (hl.cast(dtype, alpha) * prod[i, j]
+                 + hl.cast(dtype, beta) * C[i, j])
 
     def make_inputs(seed=0):
         rng = np.random.default_rng(seed)
-        return {"A": rng.standard_normal((K, M)).astype(np.float32),
-                "B": rng.standard_normal((N, K)).astype(np.float32),
-                "C": rng.standard_normal((N, M)).astype(np.float32)}
+        # Func dims map reversed onto np axes: A(i, k) -> np [k, i]
+        a_shape = (M, K) if transpose_A else (K, M)
+        b_shape = (K, N) if transpose_B else (N, K)
+        return {"A": rng.standard_normal(a_shape).astype(np_dtype),
+                "B": rng.standard_normal(b_shape).astype(np_dtype),
+                "C": rng.standard_normal((N, M)).astype(np_dtype)}
 
     def reference(A, B, C):
-        # np layouts: A[k, i], B[j, k], C[j, i]; result np [j, i]
-        f = np.float32
-        return (f(alpha) * np.einsum("ki,jk->ji", A, B, dtype=f)
+        f = np_dtype
+        a_spec = "ik" if transpose_A else "ki"   # np [k,i] unless T
+        b_spec = "kj" if transpose_B else "jk"
+        return (f(alpha) * np.einsum(f"{a_spec},{b_spec}->ji", A, B,
+                                     dtype=f)
                 + f(beta) * C).astype(f)
 
-    return App("sgemm", hl.Pipeline(out), [A, B, C], make_inputs, reference,
-               [M, N], megapixels=M * N / 1e6, tolerance=1e-2, atol=1e-2,
-               flops=2.0 * M * N * K + 3.0 * M * N, flops_dtype="f32")
+    return App(name, hl.Pipeline(out), [A, B, C], make_inputs, reference,
+               [M, N], megapixels=M * N / 1e6, tolerance=tolerance,
+               atol=atol, flops=2.0 * M * N * K + 3.0 * M * N,
+               flops_dtype="f32")
+
+
+@register("sgemm")
+def build_sgemm(M: int = 2048, N: int = 2048, K: int = 2048,
+                alpha: float = 1.5, beta: float = 0.5,
+                transpose_A: bool = False, transpose_B: bool = False,
+                **_ignored) -> App:
+    return _build_gemm("sgemm", hl.Float(32), np.float32, M, N, K,
+                       alpha, beta, transpose_A, transpose_B)
+
+
+@register("sgemm_tn")
+def build_sgemm_tn(M: int = 512, N: int = 512, K: int = 512,
+                   **_ignored) -> App:
+    """Transposed-A variant (reference GEMMGenerator transpose_ options)."""
+    app = _build_gemm("sgemm_tn", hl.Float(32), np.float32, M, N, K,
+                      1.5, 0.5, transpose_A=True)
+    return app
+
+
+@register("sgemm_nt")
+def build_sgemm_nt(M: int = 512, N: int = 512, K: int = 512,
+                   **_ignored) -> App:
+    app = _build_gemm("sgemm_nt", hl.Float(32), np.float32, M, N, K,
+                      1.5, 0.5, transpose_B=True)
+    return app
+
+
+@register("dgemm")
+def build_dgemm(M: int = 512, N: int = 512, K: int = 512,
+                alpha: float = 1.5, beta: float = 0.5,
+                **_ignored) -> App:
+    """Double precision (f64 is emulated on TPU: conformance, not speed)."""
+    return _build_gemm("dgemm", hl.Float(64), np.float64, M, N, K,
+                       alpha, beta, tolerance=1e-9, atol=1e-9)
 
 
 @register("hgemm")

@@ -62,8 +62,13 @@ def build(width: int = 1536, height: int = 2560, stencils: int = 32) -> App:
     # (sliding-window reuse, reference SlidingWindow.cpp) instead of
     # recomputing the accumulated x halos (stage m under anchor s has a
     # 4*(s-m)-column overlap) -- the hardware A/B for the carry
+    # Default stays the fused-XLA separable rewrite BY MEASUREMENT, not
+    # because the kernel fails: the round-4 hardware A/B at canonical
+    # size put the kernel path at 3.35 ms vs 1.83 ms fused (the
+    # i32-promoted u16 arithmetic in-kernel costs more than the saved
+    # HBM round-trips). HALIDE_TPU_SC_KERNEL=1 opts in.
     _slide = os.environ.get("HALIDE_TPU_SC_SLIDE")
-    if (os.environ.get("HALIDE_TPU_SC_KERNEL", "1") != "0" or _slide) \
+    if (os.environ.get("HALIDE_TPU_SC_KERNEL") or _slide) \
             and height % 128 == 0 and width >= 128:
         sc_tx = int(_slide) if _slide and _slide != "1" else (
             512 if _slide else width)

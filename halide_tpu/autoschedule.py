@@ -41,11 +41,31 @@ from .visitors import walk
 
 _REGISTRY = {}
 
+# Cost-model coefficients come FITTED per TPU generation from
+# target.FITTED_COST (measured by tools/fitcost.py -- the reference's
+# retrain_cost_model.cpp analog); the module constants below are only the
+# generic fallbacks and the names older code/tests import.
 _VMEM_BUDGET = 8 * 1024 * 1024
 # machine balance: ~ops a byte of HBM traffic buys on the VPU (v5e:
 # ~4 Tops/s over ~0.8 TB/s)
 _OPS_PER_BYTE = 5.0
 _STRIDED_PENALTY = 8.0
+
+_FITTED = None
+
+
+def _cost_params() -> dict:
+    """Per-process cached fitted coefficients for the host target."""
+    global _FITTED
+    if _FITTED is None:
+        try:
+            from .target import fitted_cost_params
+            _FITTED = fitted_cost_params()
+        except Exception:
+            _FITTED = {"ops_per_byte": _OPS_PER_BYTE,
+                       "strided_penalty": _STRIDED_PENALTY,
+                       "vmem_budget": _VMEM_BUDGET}
+    return _FITTED
 
 
 def register_autoscheduler(name: str, fn):
@@ -237,6 +257,9 @@ def _estimate_extents(f):
 
 def _cost(an: _Analysis, mat: Set[int]) -> float:
     """Byte-equivalent cost of a materialization decision set."""
+    cp = _cost_params()
+    ops_per_byte = cp["ops_per_byte"]
+    strided_penalty = cp["strided_penalty"]
     # inline multiplicity: how many times each inlined func's expression is
     # instantiated (per consumer point), following inlined consumers up
     mult: Dict[int, float] = {}
@@ -261,7 +284,7 @@ def _cost(an: _Analysis, mat: Set[int]) -> float:
             # recompute at each consumer point, scaled by multiplicity
             pts = max(an.points[cid] for cid in an.consumers_of(fid)) \
                 if an.consumers_of(fid) else an.points[fid]
-            cost += an.ops[fid] * m_of(fid) * pts / _OPS_PER_BYTE
+            cost += an.ops[fid] * m_of(fid) * pts / ops_per_byte
     # dual-strided fused passes: find materialized consumers whose
     # transitive inlined read cone hits a materialized producer with
     # stride >= 2 on >= 2 axes along the path
@@ -287,7 +310,7 @@ def _cost(an: _Analysis, mat: Set[int]) -> float:
 
         visit(cid, [])
         if hit[0]:
-            cost += an.bytes[cid] * _STRIDED_PENALTY
+            cost += an.bytes[cid] * strided_penalty
     return cost
 
 
@@ -363,7 +386,7 @@ def _pick_tile(W, H, itemsize, resident, hx, hy):
     for tx in txs:
         for ty in tys:
             vmem = (tx + hx) * (ty + hy) * itemsize * resident
-            if vmem > _VMEM_BUDGET:
+            if vmem > _cost_params()["vmem_budget"]:
                 continue
             # halo overcompute: fraction of extra points per tile
             over = ((tx + hx) * (ty + hy)) / float(tx * ty)

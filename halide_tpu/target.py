@@ -138,6 +138,49 @@ def hbm_gbps(generation: str = None) -> float:
     return HBM_GBPS.get(gen, HBM_GBPS["generic"])
 
 
+# ---------------------------------------------------------------------------
+# Fitted autoscheduler cost-model constants, per TPU generation
+# (reference: adams2019 trains DefaultCostModel.cpp:180 against measured
+# runtimes; here the three-term analytical model's coefficients are FIT to
+# hardware measurements instead of hand-coded).
+# Provenance: `python -m halide_tpu.tools.fitcost` measures (a) HBM stream
+# bandwidth via a jitted triad, (b) VPU elementwise throughput via the
+# chain-length slope on a resident tile, and (c) the dual-strided fused-
+# read slowdown via a DSL A/B (inline vs compute_root of a stride-2x2
+# producer). v5e row measured on TPU v5 litepod-0 (axon), 2026-08-18,
+# jax 0.9: bandwidth 674 GB/s, VPU 3.69 Tops/s f32, strided ratio 8.7x.
+# Other rows scale the v5e fit by published peak ratios (remeasure with
+# the tool when those targets are attached).
+# ---------------------------------------------------------------------------
+FITTED_COST = {
+    "v5e": {"ops_per_byte": 5.5, "strided_penalty": 8.7,
+            "vmem_budget": 8 * 1024 * 1024},
+    "v4": {"ops_per_byte": 4.5, "strided_penalty": 8.7,
+           "vmem_budget": 8 * 1024 * 1024},
+    "v5p": {"ops_per_byte": 4.7, "strided_penalty": 8.7,
+            "vmem_budget": 8 * 1024 * 1024},
+    "v6e": {"ops_per_byte": 11.0, "strided_penalty": 8.7,
+            "vmem_budget": 16 * 1024 * 1024},
+    "generic": {"ops_per_byte": 5.0, "strided_penalty": 8.0,
+                "vmem_budget": 8 * 1024 * 1024},
+}
+
+
+def fitted_cost_params(generation: str = None) -> dict:
+    """Cost-model coefficients for the host (or named) generation, with
+    env overrides (HT_COST_OPS_PER_BYTE / HT_COST_STRIDED_PENALTY /
+    HT_COST_VMEM_BUDGET) for calibration runs."""
+    gen = generation or get_host_target().generation
+    p = dict(FITTED_COST.get(gen, FITTED_COST["generic"]))
+    for key, env in (("ops_per_byte", "HT_COST_OPS_PER_BYTE"),
+                     ("strided_penalty", "HT_COST_STRIDED_PENALTY"),
+                     ("vmem_budget", "HT_COST_VMEM_BUDGET")):
+        v = os.environ.get(env)
+        if v:
+            p[key] = float(v)
+    return p
+
+
 def get_target_from_environment() -> Target:
     s = os.environ.get("HL_TARGET", "host")
     return Target(s if s != "host" else None)

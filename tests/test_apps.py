@@ -193,3 +193,13 @@ def test_bgu():
 
 def test_fft():
     check("fft", width=64, height=32)
+
+
+def test_sgemm_transpose_variants():
+    check("sgemm_tn", M=96, N=80, K=64)
+    check("sgemm_nt", M=96, N=80, K=64)
+    check("sgemm", M=64, N=64, K=48, transpose_A=True, transpose_B=True)
+
+
+def test_dgemm_f64():
+    check("dgemm", M=64, N=96, K=48)
