@@ -49,7 +49,6 @@ def build(out_width: int = 2560, out_height: int = 1920,
     deinterleaved[x, y, c] = hl.mux(c, [
         denoised[2 * x, 2 * y], denoised[2 * x + 1, 2 * y],
         denoised[2 * x, 2 * y + 1], denoised[2 * x + 1, 2 * y + 1]])
-    deinterleaved.compute_root()
 
     # ---- demosaic ------------------------------------------------------
     g_gr = hl.Func("g_gr")
@@ -74,8 +73,6 @@ def build(out_width: int = 2560, out_height: int = 1920,
     ghd_b = hl.absd(g_gb[x - 1, y], g_gb[x, y])
     g_b = hl.Func("g_b")
     g_b[x, y] = hl.select(ghd_b < gvd_b, gh_b, gv_b)
-    g_r.compute_root()
-    g_b.compute_root()
 
     r_gr = hl.Func("r_gr")
     r_gr[x, y] = (g_gr[x, y] - _avg(g_r[x, y], g_r[x - 1, y])) \
@@ -195,23 +192,42 @@ def build(out_width: int = 2560, out_height: int = 1920,
     # (reference: apps/camera_pipe/camera_pipe_generator.cpp:383-422 --
     # the CPU schedule likewise computes the per-tile back half at tiles
     # of the output with the half-res planes computed ahead.)
-    # Default ON (HALIDE_TPU_CP_KERNEL=0 opts out): the plan-time probe
-    # (`pallas_group._probe_full_kernel`) backend-compiles the exact
-    # kernel first and falls back to the fused-XLA ISP on reject, so a
-    # Mosaic failure can never surface at execute time.
+    # Default OFF by MEASUREMENT, not because the kernel fails: the
+    # round-4 hardware sweep at canonical size put the kernel path at
+    # 2.88-3.07 ms across every tile shape (256x64..2560x128) vs 1.67 ms
+    # for the fused-XLA ISP (the div-indexed half-res window staging +
+    # i32-promoted u8/u16 arithmetic in-kernel cost more than the saved
+    # HBM round-trips). HALIDE_TPU_CP_KERNEL=1 opts in; the plan-time
+    # probe (`pallas_group._probe_full_kernel`) backend-compiles the
+    # exact kernel first and falls back to the fused-XLA ISP on reject,
+    # so a Mosaic failure can never surface at execute time.
     import os
-    if W % 256 == 0 and H % 64 == 0 and \
-            os.environ.get("HALIDE_TPU_CP_KERNEL", "1") != "0":
+    _cptile = os.environ.get("HALIDE_TPU_CP_TILE", "256x64")
+    _ctx, _cty = (int(v) for v in _cptile.split("x"))
+    if W % _ctx == 0 and H % _cty == 0 and \
+            os.environ.get("HALIDE_TPU_CP_KERNEL", "0") != "0":
         xo, yo, xin, yin = (hl.Var("xo"), hl.Var("yo"),
                             hl.Var("xin"), hl.Var("yin"))
-        processed.tile(x, y, xo, yo, xin, yin, 256, 64) \
+        processed.tile(x, y, xo, yo, xin, yin, _ctx, _cty) \
                  .vectorize(xin).parallel(yo)
+        deinterleaved.compute_root()
+        g_r.compute_root()
+        g_b.compute_root()
         demosaiced.compute_at(processed, xo)
         curved.compute_at(processed, xo)
         unsharp_y.compute_at(processed, xo)
     else:
-        demosaiced.compute_root()
-        curved.compute_root()
+        # fused-XLA ISP: which stages materialize (HBM round-trips) vs
+        # inline (XLA fuses) is a measured choice; HALIDE_TPU_CP_ROOTS
+        # sweeps the staging set on hardware (tools note in /tmp sweep)
+        _by_name = {"denoised": denoised, "deinterleaved": deinterleaved,
+                    "g_r": g_r, "g_b": g_b, "demosaiced": demosaiced,
+                    "curved": curved, "unsharp_y": unsharp_y}
+        _roots = os.environ.get(
+            "HALIDE_TPU_CP_ROOTS",
+            "deinterleaved,g_r,g_b,demosaiced,curved")
+        for _n in filter(None, _roots.split(",")):
+            _by_name[_n].compute_root()
 
     def make_inputs(seed=0):
         rng = np.random.default_rng(seed)
