@@ -80,10 +80,11 @@ def build(width: int = 1536, height: int = 2560, s_sigma: int = 8,
     # (reference: apps/bilateral_grid/bilateral_grid_generator.cpp:86-123
     # -- the GPU schedule similarly tiles the slice with blury staged.)
     import os
-    # measured on v5e at 2560x1536: 256x64 3.10ms, 512x64 2.60, 256x128
-    # 2.34, 256x256 2.06 (bigger y tiles amortize the z-plane unroll)
+    # measured on v5e at 2560x1536 (round-4 sweep, post K-leading
+    # histogram): 256x256 2.03ms, 512x256 1.80, 512x512 1.82, 1536x256
+    # 1.85, 128x128 3.25, XLA fallback 4.09
     tx, ty = (int(v) for v in os.environ.get(
-        "HALIDE_TPU_BG_TILE", "256x256").split("x"))
+        "HALIDE_TPU_BG_TILE", "512x256").split("x"))
     if width % tx == 0 and height % ty == 0:
         xo, yo, xin, yin = (hl.Var("xo"), hl.Var("yo"),
                             hl.Var("xin"), hl.Var("yin"))

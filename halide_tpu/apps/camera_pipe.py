@@ -223,9 +223,15 @@ def build(out_width: int = 2560, out_height: int = 1920,
         _by_name = {"denoised": denoised, "deinterleaved": deinterleaved,
                     "g_r": g_r, "g_b": g_b, "demosaiced": demosaiced,
                     "curved": curved, "unsharp_y": unsharp_y}
+        # measured on v5e at 2560x1920 (round-4 staging sweep):
+        #   deinterleaved,g_r,g_b,demosaiced,curved  1.81 ms  (old default)
+        #   g_r,g_b,demosaiced,curved                1.19 ms  <- default
+        #   g_r,g_b,curved (demosaic inline)         1.18 ms  (7 min compile)
+        #   deinterleaved,demosaiced,curved          1.71 ms
+        # materializing the half-res deinterleave costs more than
+        # recomputing the strided reads inside the consumers' fusions
         _roots = os.environ.get(
-            "HALIDE_TPU_CP_ROOTS",
-            "deinterleaved,g_r,g_b,demosaiced,curved")
+            "HALIDE_TPU_CP_ROOTS", "g_r,g_b,demosaiced,curved")
         for _n in filter(None, _roots.split(",")):
             _by_name[_n].compute_root()
 

@@ -2397,7 +2397,18 @@ def _shift_sum(E0, E1, w0_e, w1_e, out_t, ctx: Ctx):
         size = bnds[1] - bnds[0] + 2
     else:
         return None
-    nplanes = size + (1 if extra_clamped_plane else 0)
+    k_lo, k_hi = zmin, zmin + size - 1 + (1 if extra_clamped_plane else 0)
+    # the unroll only needs planes the index can actually select: masks
+    # fire for k in [idx_lo, idx_hi+1], so intersect with the index
+    # expression's static bounds (bilateral_grid's z window carries +-2
+    # blur margins the clamped zi can never reach -- 18 planes -> 12)
+    bnds2 = _expr_static_bounds(idx_e, ctx)
+    if bnds2 is not None:
+        k_lo = max(k_lo, bnds2[0])
+        k_hi = min(k_hi, bnds2[1] + 1)
+        if k_hi < k_lo:
+            return None
+    nplanes = k_hi - k_lo + 1
     if size > _LERP_SHIFT_MAX:
         return None
     if getattr(ctx, "in_kernel", False):
@@ -2458,7 +2469,7 @@ def _shift_sum(E0, E1, w0_e, w1_e, out_t, ctx: Ctx):
             if isinstance(w1_e, E.Expr) else w1_e
         acc = None
         zero = jnp.zeros((), _np_dtype(out_t))
-        for k in range(zmin, zmin + nplanes):
+        for k in range(k_lo, k_hi + 1):
             Ek = jnp.asarray(eval_array(
                 plane(min(k, zmin + size - 1)), ctx)).astype(
                 _np_dtype(out_t))
