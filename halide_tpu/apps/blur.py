@@ -36,7 +36,12 @@ def build(width: int = 2560, height: int = 1536) -> App:
     if _tile:   # tile-shape A/B on hardware (tools/abtest.py)
         tx_, ty_ = (int(v) for v in _tile.split("x"))
     else:
-        tx_, ty_ = max(width - 2, 8), 128
+        # round-4 sweep at 2560x1536 u16 (us/frame): full-width x128
+        # 55.4, x256 45.1, 1280x128 71.4, **1280x256 36.4** (x-split
+        # doubles the DMA pipeline depth; 256-row bands amortize the
+        # per-step fixed cost), 1280x512 50.0. Clamped so small test
+        # sizes keep the same tiled structure.
+        tx_, ty_ = min(1280, max(width - 2, 8)), min(256, height - 2)
     blur_y.tile(x, y, xo, yo, xi, yi, tx_, ty_) \
           .vectorize(xi).parallel(yo)
     blur_x.compute_at(blur_y, xo)

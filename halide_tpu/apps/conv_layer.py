@@ -82,7 +82,16 @@ def build_dw(N: int = 4, CI: int = 32, CO: int = 16, CM: int = 1,
     pointwise = hl.Func("pointwise_convolved")
     pointwise[d, x, y, b] = bias[d]
     pointwise[d, x, y, b] += pw_filt[d, rc.x] * depthwise[rc.x, x, y, b]
-    depthwise.compute_root()
+    # measured on v5e (round-4 staging sweep, us/frame): depthwise-only
+    # 161, nothing 413, input_bounded-only 274, BOTH 72.6 <- default
+    # (materializing the zero-padded select lets XLA lower the 9-tap as
+    # a clean shifted-window pass instead of re-masking per tap)
+    import os
+    _dw_roots = os.environ.get("HALIDE_TPU_DW_ROOTS",
+                               "input_bounded,depthwise")
+    _dw_by_name = {"depthwise": depthwise, "input_bounded": input_bounded}
+    for _n in filter(None, _dw_roots.split(",")):
+        _dw_by_name[_n].compute_root()
 
     output = hl.Func("dw_out")
     output[d, x, y, b] = hl.max(pointwise[d, x, y, b], 0.0)

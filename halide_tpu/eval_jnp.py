@@ -2330,7 +2330,11 @@ def _expr_static_bounds(e_, ctx: Ctx):
     scope = {}
     for name, ax in ctx.axes.items():
         if not _is_static(ax.min):
-            return None
+            # symbolic tile origin (in-kernel): the axis range is unknown,
+            # but value-derived indices (clamp(input)*k) still bound --
+            # exactly the case that matters for the z-plane unroll
+            scope[name] = Interval.everything()
+            continue
         scope[name] = Interval(int(ax.min), int(ax.min) + ax.extent - 1)
     try:
         iv = BoundsEngine().bounds(e_, scope)
