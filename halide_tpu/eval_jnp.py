@@ -2382,9 +2382,12 @@ def _shift_sum(E0, E1, w0_e, w1_e, out_t, ctx: Ctx):
         # inline target (e.g. local_laplacian's lPyramid): the plane range
         # comes from the index expression's static bounds (+1 for the
         # shifted read); plane reads inline with a static index. Each
-        # plane re-evaluates E0's whole tower, so only take TRIVIAL
-        # towers (a bare call) -- larger ones regress (bgu measured 7x
-        # slower through this path)
+        # plane re-evaluates E0's whole tower. On the fused-XLA path only
+        # take TRIVIAL towers (a bare call) -- larger ones regress there
+        # (bgu measured 7x slower). IN-KERNEL the per-plane tower lowers
+        # to static div-window reads, so a shared unroll beats the
+        # per-read one-hot fallback; the _KERNEL_PLANE_NODES budget below
+        # still bounds the unrolled size.
         nE0 = 0
 
         def _cnt(_x):
@@ -2392,7 +2395,7 @@ def _shift_sum(E0, E1, w0_e, w1_e, out_t, ctx: Ctx):
             nE0 += 1
 
         walk(E0, _cnt)
-        if nE0 > 8:
+        if nE0 > (96 if getattr(ctx, "in_kernel", False) else 8):
             return None
         bnds = _expr_static_bounds(idx_e, ctx)
         if bnds is None:
@@ -2429,6 +2432,11 @@ def _shift_sum(E0, E1, w0_e, w1_e, out_t, ctx: Ctx):
 
         walk(E0, _cnt2)
         if nplanes * nE > _KERNEL_PLANE_NODES or nplanes > 32:
+            if real is None:
+                # inline target: the generic per-read evaluation handled
+                # this before the unroll existed -- fall back to it
+                # rather than rejecting the whole kernel
+                return None
             raise PallasUnsupported(
                 "fractional-slice plane unroll too large for a kernel: "
                 f"{nplanes} planes x {nE} nodes")
@@ -2471,17 +2479,38 @@ def _shift_sum(E0, E1, w0_e, w1_e, out_t, ctx: Ctx):
             if isinstance(w0_e, E.Expr) else w0_e
         w1 = jnp.asarray(eval_array(w1_e, ctx)) \
             if isinstance(w1_e, E.Expr) else w1_e
-        acc = None
         zero = jnp.zeros((), _np_dtype(out_t))
-        for k in range(k_lo, k_hi + 1):
-            Ek = jnp.asarray(eval_array(
+
+        def ev_plane(k):
+            return jnp.asarray(eval_array(
                 plane(min(k, zmin + size - 1)), ctx)).astype(
                 _np_dtype(out_t))
-            # where() (not multiply-by-0) so out-of-band planes cannot
-            # inject NaN/Inf the direct evaluation never touches
-            term = jnp.where(I == k, w0 * Ek, zero) \
-                + jnp.where(I == (k - 1), w1 * Ek, zero)
-            acc = term if acc is None else acc + term
+
+        if k_hi == k_lo:
+            Ek = ev_plane(k_lo)
+            acc = jnp.where(I == k_lo, w0 * Ek, zero) \
+                + jnp.where(I == (k_lo - 1), w1 * Ek, zero)
+            return acc.astype(_np_dtype(out_t))
+        # select-chain over the index VALUE i: each step pairs the two
+        # planes the i-th lerp needs (prev is shared with the next step),
+        # one compare + one select per plane instead of two of each --
+        # where() (not multiply-by-0) so out-of-band planes cannot inject
+        # NaN/Inf the direct evaluation never touches. The compare runs in
+        # f32 (exact for the small plane indices; int vector compares cost
+        # more VPU slots on this backend).
+        If = I.astype(jnp.float32) \
+            if jnp.issubdtype(I.dtype, jnp.integer) else I
+        prev = ev_plane(k_lo)
+        # boundary: I == k_lo-1 sees only its shifted read E@(I+1) == E@k_lo
+        # (matches the masked-sum form, whose w0 mask never fires below k_lo)
+        acc = jnp.where(If == float(k_lo - 1), w1 * prev, zero)
+        for i in range(k_lo, k_hi):
+            nxt = ev_plane(i + 1)
+            pair = w0 * prev + w1 * nxt
+            acc = jnp.where(If == float(i), pair, acc)
+            prev = nxt
+        # boundary: I == k_hi has no in-range shifted read in the masked sum
+        acc = jnp.where(If == float(k_hi), w0 * prev, acc)
         return acc.astype(_np_dtype(out_t))
     except PallasUnsupported:
         return None
