@@ -82,7 +82,9 @@ def build(width: int = 1536, height: int = 2560, s_sigma: int = 8,
     import os
     # measured on v5e at 2560x1536 (round-4 sweep, post K-leading
     # histogram): 256x256 2.03ms, 512x256 1.80, 512x512 1.82, 1536x256
-    # 1.85, 128x128 3.25, XLA fallback 4.09
+    # 1.85, 128x128 3.25, XLA fallback 4.09. With the broadcast+reshape
+    # sublane repeat replacing the one-hot MXU expansion: 0.97 ms
+    # (2.1x the reference CPU's 2.04 ms)
     tx, ty = (int(v) for v in os.environ.get(
         "HALIDE_TPU_BG_TILE", "512x256").split("x"))
     if width % tx == 0 and height % ty == 0:

@@ -869,12 +869,61 @@ def _read_realized(real: Realized, e: E.Call, ctx: Ctx):
     return _affine_read(P, real, args, ctx)
 
 
+def _bcast_reshape_repeat(P, div, npax):
+    """Element-repeat via broadcast + tiling-aligned reshape:
+    (..., n, L) -> (..., n, div, L) -> (..., n*div, L). When `div` is a
+    multiple of the dtype's sublane tile, the merged axis's vreg layout is
+    identical before and after (row g*div+i sits in the vreg the broadcast
+    already produced), so Mosaic lowers the shape-cast without relayout.
+    Exact copy -- no MXU pass, any dtype."""
+    n = P.shape[npax]
+    Pe = jnp.expand_dims(P, npax + 1)
+    Pe = jnp.broadcast_to(
+        Pe, P.shape[:npax + 1] + (div,) + P.shape[npax + 1:])
+    return Pe.reshape(
+        P.shape[:npax] + (n * div,) + P.shape[npax + 1:])
+
+
+_RESHAPE_REPEAT_OK: Optional[bool] = None
+
+
+def _reshape_repeat_ok() -> bool:
+    """One-time probe: does Mosaic accept the broadcast+shape-cast sublane
+    element-repeat (aligned case)? Probed eagerly like pallas_group's
+    _repeat_kernel_ok because a backend lowering failure at realize time
+    is uncatchable; on reject the one-hot MXU matmul form is used."""
+    global _RESHAPE_REPEAT_OK
+    if _RESHAPE_REPEAT_OK is not None:
+        return _RESHAPE_REPEAT_OK
+    if jax.default_backend() != "tpu":
+        # non-TPU kernels run interpret=True where plain jnp executes
+        _RESHAPE_REPEAT_OK = True
+        return True
+    try:
+        import jax.experimental.pallas as pl
+
+        def k(i_ref, o_ref):
+            o_ref[...] = _bcast_reshape_repeat(i_ref[...], 8, 1)
+
+        call = pl.pallas_call(
+            k, out_shape=jax.ShapeDtypeStruct((2, 40, 128), jnp.float32))
+        jax.jit(lambda x2: call(x2)).lower(
+            jax.ShapeDtypeStruct((2, 5, 128), jnp.float32)).compile()
+        _RESHAPE_REPEAT_OK = True
+    except Exception:
+        _RESHAPE_REPEAT_OK = False
+    return _RESHAPE_REPEAT_OK
+
+
 def _kernel_repeat(P, div, npax, ctx: Ctx):
     """Element-repeat along axis `npax`, safe inside a Mosaic kernel.
 
     Mosaic cannot lower jnp.repeat on vectors (the round-2 probe gate).
     In-kernel lowerings that DO work:
-    - sublane (minor-2) axis: a 0/1 expansion matmul on the MXU,
+    - sublane (minor-2) axis, repeat factor a multiple of the sublane
+      tile: broadcast + layout-aligned shape-cast (_bcast_reshape_repeat)
+      -- an exact copy with no MXU pass (bilateral_grid d=8, bgu d=32).
+    - sublane axis, other factors: a 0/1 expansion matmul on the MXU,
       R[r, k] = [k == r//div], unrolled over leading dims. Each output
       row has exactly ONE unit weight, so the f32 dot is EXACT for f32
       values and for integers < 2^24 (cast round-trips).
@@ -887,6 +936,9 @@ def _kernel_repeat(P, div, npax, ctx: Ctx):
     if npax == nd - 1:
         raise PallasUnsupported("lane repeat inside a kernel")
     n = P.shape[npax]
+    sub_m = {4: 8, 2: 16, 1: 32}.get(P.dtype.itemsize, 8)
+    if npax == nd - 2 and div % sub_m == 0 and _reshape_repeat_ok():
+        return _bcast_reshape_repeat(P, div, npax)
     wide_int = P.dtype.kind in "iu" and P.dtype.itemsize >= 4
     if npax == nd - 2 and not wide_int:
         # R[r, k] = [k == r // div], built IN-KERNEL from iotas (a pallas

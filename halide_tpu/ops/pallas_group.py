@@ -406,8 +406,36 @@ def _probe_full_kernel(call, arrays, tag: str):
         return
     import hashlib
     avals = [jax.ShapeDtypeStruct(a.shape, a.dtype) for a in arrays]
+
+    def _fresh_stack(fn):
+        """Run fn on a fresh big-stack thread. The probe fires deep inside
+        the pipeline trace recursion, so a large unrolled kernel's
+        jaxpr->MLIR lowering can trip CPython 3.12's C-stack guard
+        (RecursionError) purely because of ambient depth -- the reference's
+        run_with_large_stack (src/Util.h) for the same reason."""
+        import threading
+        box: dict = {}
+
+        def runner():
+            try:
+                box["v"] = fn()
+            except BaseException as e:   # noqa: B036 (re-raised below)
+                box["e"] = e
+
+        old = threading.stack_size(256 * 1024 * 1024)
+        try:
+            th = threading.Thread(target=runner, name="ht-probe")
+            th.start()
+            th.join()
+        finally:
+            threading.stack_size(old)
+        if "e" in box:
+            raise box["e"]
+        return box["v"]
+
     try:
-        lowered = jax.jit(lambda *xs: call(*xs)).lower(*avals)
+        lowered = _fresh_stack(
+            lambda: jax.jit(lambda *xs: call(*xs)).lower(*avals))
         key = hashlib.sha1(
             lowered.as_text().encode("utf-8", "ignore")).hexdigest()
     except PallasUnsupported:
@@ -424,7 +452,7 @@ def _probe_full_kernel(call, arrays, tag: str):
     if hit:
         return
     try:
-        lowered.compile()
+        _fresh_stack(lowered.compile)
     except Exception as ex:
         _FULL_PROBE_CACHE[key] = False
         raise PallasUnsupported(
