@@ -232,6 +232,20 @@ def _multi_read_ids(g: _Graph) -> set:
 # bounds inference
 # ---------------------------------------------------------------------------
 
+# Largest per-dim extent bounds inference will size a required region to.
+# A data-dependent index whose only bound is its TYPE range (e.g.
+# i32(float_input[x]) -- bounds.py Cast falls back to [t.min, t.max]) is
+# "bounded" but never realizable: the reference errors with "accessed over
+# an unreasonably large range" (src/BoundsInference.cpp constant-bound
+# check) instead of allocating. 2^26 elements/dim keeps every legitimate
+# LUT (u16 histogram: 65,536) while rejecting type-range footprints.
+_MAX_REGION_EXTENT = 1 << 26
+
+
+def _unreasonable(iv) -> bool:
+    return (iv.hi - iv.lo + 1) > _MAX_REGION_EXTENT
+
+
 class _BoundsPass:
     def __init__(self, g: _Graph, engine: BoundsEngine):
         self.g = g
@@ -341,10 +355,11 @@ class _BoundsPass:
                     box = self.boxes.setdefault(
                         id(t), Box.empty(t.dimensions()))
                     for i, iv in enumerate(ivs):
-                        if not iv.is_bounded():
+                        if not iv.is_bounded() or _unreasonable(iv):
                             raise CompileError(
                                 f"cannot bound required region of {t.name} "
-                                f"dim {i} (accessed from an unbounded index); "
+                                f"dim {i} (accessed from an unbounded index"
+                                " or over an unreasonably large range); "
                                 "add clamp() or bound()")
                         box.union_dim(i, iv)
                 else:
@@ -355,7 +370,7 @@ class _BoundsPass:
             else:
                 box = self.input_box(t)
                 for i, iv in enumerate(ivs):
-                    if not iv.is_bounded():
+                    if not iv.is_bounded() or _unreasonable(iv):
                         raise CompileError(
                             f"cannot bound read of input "
                             f"{getattr(t, 'name', '?')} dim {i}; add clamp()")

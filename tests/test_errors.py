@@ -144,3 +144,22 @@ def test_fold_storage_factor_too_small():
     bx.fold_storage(y, 4)      # tile needs 9 live rows of bx
     with pytest.raises(hl.CompileError, match="fold_storage"):
         by.realize([64, 31])
+
+
+def test_unclamped_data_dependent_index_errors():
+    # reference: BoundsInference's constant-bound check -- an index whose
+    # only bound is its TYPE range (i32(float_input[x]) is "bounded" by
+    # [-2^31, 2^31-1]) must raise the clamp()-hint diagnostic, not
+    # overflow deep inside the gather lowering with a 2^32+1-extent
+    # footprint (the interval union of tab[iv] and tab[iv+1])
+    x, y = hl.Var("x"), hl.Var("y")
+    tab = hl.Func("ub_tab")
+    tab[x, y] = hl.f32(x) * 0.25 + hl.f32(y)
+    tab.compute_root()
+    inp = hl.ImageParam(hl.Float(32), 2, "ub_in")
+    inp.set(np.full((4, 8), 2.5, np.float32))
+    iv = hl.i32(inp[x, y])          # data-dependent, unclamped
+    out = hl.Func("ub_out")
+    out[x, y] = tab[iv, y] + tab[iv + 1, y]
+    with pytest.raises(hl.CompileError, match="clamp"):
+        hl.Pipeline(out).realize([8, 4])
