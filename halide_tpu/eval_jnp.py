@@ -899,6 +899,11 @@ def _reshape_repeat_ok() -> bool:
         # non-TPU kernels run interpret=True where plain jnp executes
         _RESHAPE_REPEAT_OK = True
         return True
+    from .ops import pallas_group as _pg
+    disk = _pg._probe_disk_get("feature:reshape_repeat")
+    if disk is not None:
+        _RESHAPE_REPEAT_OK = disk
+        return disk
     try:
         import jax.experimental.pallas as pl
 
@@ -910,8 +915,11 @@ def _reshape_repeat_ok() -> bool:
         jax.jit(lambda x2: call(x2)).lower(
             jax.ShapeDtypeStruct((2, 5, 128), jnp.float32)).compile()
         _RESHAPE_REPEAT_OK = True
-    except Exception:
+        _pg._probe_disk_put("feature:reshape_repeat", True)
+    except Exception as ex:
         _RESHAPE_REPEAT_OK = False
+        if not _pg._transient_error(ex):
+            _pg._probe_disk_put("feature:reshape_repeat", False)
     return _RESHAPE_REPEAT_OK
 
 

@@ -76,27 +76,49 @@ def lut_gather(idx, tbl):
     return jnp.sum(A * C, axis=-1)
 
 
-def scatter_add_factored(lin, g, K: int, red_axes):
+def scatter_add_factored(lin, g, K: int, red_axes, mode: str = "f32"):
     """Histogram: out[batch..., k] = sum_{red_axes} where(lin == k, g, 0).
 
     lin: int32 over the full grid (out-of-range values >= K1*K2 drop; the
          caller maps its own OOB sentinel into that range).
     g:   values, same grid shape (broadcastable); accumulated in f32.
     red_axes: tuple of axes of the grid reduced over (the rdom axes).
+    mode: MXU operand width -- the one-hots dominate HBM traffic (two
+         (grid, ~sqrt(K)) operands vs one (grid,) index read), so the
+         CALLER picks the narrowest exact width from its static value
+         bound:
+         - "int8":  integer g, |g| <= 127. s8 x s8 -> s32 MXU pass;
+                    every partial product is 0 or g, summed in int32 --
+                    exact for accumulated |sums| < 2^31.
+         - "bf16":  g exactly bf16-representable (integers |g| <= 256, or
+                    a constant with <= 8 significand bits). Products are
+                    exact; accumulation in f32 via preferred_element_type.
+         - "f32":   anything else (HIGHEST precision, exact < 2^24).
     Returns f32 (batch-dims-in-order..., K); caller reshapes/casts.
     """
     k1, k2 = split_k(K)
     hi, lo = digit_pair(lin, k2)
-    A = jax.nn.one_hot(hi, k1, dtype=jnp.float32)
-    B = jax.nn.one_hot(lo, k2, dtype=jnp.float32)
-    Bg = B * jnp.asarray(g, jnp.float32)[..., None]
+    if mode == "int8":
+        odt, acc_t = jnp.int8, jnp.int32
+    elif mode == "bf16":
+        odt, acc_t = jnp.bfloat16, jnp.float32
+    else:
+        odt, acc_t = jnp.float32, jnp.float32
+    A = jax.nn.one_hot(hi, k1, dtype=odt)
+    B = jax.nn.one_hot(lo, k2, dtype=odt)
+    Bg = B * jnp.asarray(g).astype(odt)[..., None]
     nd = max(A.ndim, Bg.ndim) - 1
     A = jnp.broadcast_to(A, jnp.broadcast_shapes(A.shape[:-1],
                                                  Bg.shape[:-1]) + A.shape[-1:])
     Bg = jnp.broadcast_to(Bg, A.shape[:-1] + Bg.shape[-1:])
     dims = list(range(nd))
     kept = [d for d in dims if d not in set(red_axes)]
-    out2 = jnp.einsum(A, dims + [nd], Bg, dims + [nd + 1],
-                      kept + [nd, nd + 1], precision=_HI)
+    if mode == "f32":
+        out2 = jnp.einsum(A, dims + [nd], Bg, dims + [nd + 1],
+                          kept + [nd, nd + 1], precision=_HI)
+    else:
+        out2 = jnp.einsum(A, dims + [nd], Bg, dims + [nd + 1],
+                          kept + [nd, nd + 1],
+                          preferred_element_type=acc_t)
     out = out2.reshape(out2.shape[:-2] + (k1 * k2,))
-    return out[..., :K]
+    return out[..., :K].astype(jnp.float32)

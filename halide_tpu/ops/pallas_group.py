@@ -93,6 +93,84 @@ def _kcast(val, np_dtype):
     return val.astype(dst)
 
 
+# ---------------------------------------------------------------------------
+# persistent probe-outcome cache
+#
+# Probe compiles travel the same (tunneled) backend as real compiles, so a
+# wedged backend makes a probe fail TRANSIENTLY -- and a failed probe
+# silently selects the slower fused-XLA lowering (measured: blur 36us with
+# the band split vs 65us without, depthwise 73us vs 143us, in otherwise
+# identical bench runs). Persisting outcomes keyed by (jax version, backend,
+# probe id) makes path selection deterministic across processes: a probe
+# that ever compiled on this backend+version stays ON, and backend
+# rejections are remembered without paying the compile again.
+# ---------------------------------------------------------------------------
+
+_PROBE_DISK: Optional[dict] = None
+
+
+def _probe_disk_file() -> str:
+    d = _os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    if not d:
+        d = _os.path.join(_os.path.dirname(_os.path.dirname(
+            _os.path.dirname(_os.path.abspath(__file__)))), ".bench_cache")
+    return _os.path.join(d, "probe_cache.json")
+
+
+def _probe_key(name: str) -> str:
+    return f"{jax.__version__}:{jax.default_backend()}:{name}"
+
+
+def _probe_disk_get(name: str) -> Optional[bool]:
+    global _PROBE_DISK
+    if _os.environ.get("HALIDE_TPU_NO_PROBE_CACHE"):
+        return None
+    if _PROBE_DISK is None:
+        try:
+            import json
+            with open(_probe_disk_file()) as fh:
+                _PROBE_DISK = json.load(fh)
+        except Exception:
+            _PROBE_DISK = {}
+    v = _PROBE_DISK.get(_probe_key(name))
+    return v if isinstance(v, bool) else None
+
+
+def _probe_disk_put(name: str, val: bool) -> None:
+    global _PROBE_DISK
+    if _os.environ.get("HALIDE_TPU_NO_PROBE_CACHE"):
+        return
+    try:
+        import json
+        path = _probe_disk_file()
+        try:
+            with open(path) as fh:
+                cur = json.load(fh)
+        except Exception:
+            cur = {}
+        cur[_probe_key(name)] = val
+        tmp = path + f".tmp{_os.getpid()}"
+        _os.makedirs(_os.path.dirname(path), exist_ok=True)
+        with open(tmp, "w") as fh:
+            json.dump(cur, fh, indent=0, sort_keys=True)
+        _os.replace(tmp, path)
+        if _PROBE_DISK is not None:
+            _PROBE_DISK[_probe_key(name)] = val
+    except Exception:
+        pass
+
+
+_TRANSIENT_MARKS = ("unavailable", "failed to connect", "connection",
+                    "socket", "giving up", "timed out", "timeout",
+                    "deadline exceeded", "cancelled")
+
+
+def _transient_error(ex: BaseException) -> bool:
+    """A backend/tunnel outage, not a compiler verdict: do NOT remember it."""
+    t = f"{type(ex).__name__}: {ex}".lower()
+    return any(m in t for m in _TRANSIENT_MARKS)
+
+
 _REPEAT_OK: Optional[bool] = None
 
 
@@ -107,6 +185,10 @@ def _repeat_kernel_ok() -> bool:
     global _REPEAT_OK
     if _REPEAT_OK is not None:
         return _REPEAT_OK
+    disk = _probe_disk_get("feature:kernel_repeat")
+    if disk is not None:
+        _REPEAT_OK = disk
+        return disk
     try:
         import jax.experimental.pallas as pl
         from ..eval_jnp import _kernel_repeat
@@ -126,11 +208,14 @@ def _repeat_kernel_ok() -> bool:
         jax.jit(lambda x2: call(x2)).lower(
             jax.ShapeDtypeStruct((3, 8, 128), jnp.float32)).compile()
         _REPEAT_OK = True
-    except Exception:
+        _probe_disk_put("feature:kernel_repeat", True)
+    except Exception as ex:
         if _os.environ.get("HT_DEBUG_PROBE"):
             import traceback
             traceback.print_exc()
         _REPEAT_OK = False
+        if not _transient_error(ex):
+            _probe_disk_put("feature:kernel_repeat", False)
     return _REPEAT_OK
 
 
@@ -334,6 +419,10 @@ def _bandsplit_ok(interpret: bool) -> bool:
     global _BANDSPLIT_OK
     if _BANDSPLIT_OK is not None:
         return _BANDSPLIT_OK
+    disk = _probe_disk_get("feature:bandsplit")
+    if disk is not None:
+        _BANDSPLIT_OK = disk
+        return disk
     try:
         import jax.experimental.pallas as pl
 
@@ -347,11 +436,14 @@ def _bandsplit_ok(interpret: bool) -> bool:
             out_shape=jax.ShapeDtypeStruct((32, 128), jnp.float32))
         jax.jit(call).lower().compile()
         _BANDSPLIT_OK = True
-    except Exception:
+        _probe_disk_put("feature:bandsplit", True)
+    except Exception as ex:
         if _os.environ.get("HT_DEBUG_PROBE"):
             import traceback
             traceback.print_exc()
         _BANDSPLIT_OK = False
+        if not _transient_error(ex):
+            _probe_disk_put("feature:bandsplit", False)
     return _BANDSPLIT_OK
 
 
@@ -366,6 +458,10 @@ def _nondiv_out_ok(interpret: bool) -> bool:
     global _NONDIV_OK
     if _NONDIV_OK is not None:
         return _NONDIV_OK
+    disk = _probe_disk_get("feature:nondiv_out")
+    if disk is not None:
+        _NONDIV_OK = disk
+        return disk
     try:
         import jax.experimental.pallas as pl
 
@@ -378,11 +474,14 @@ def _nondiv_out_ok(interpret: bool) -> bool:
             out_shape=jax.ShapeDtypeStruct((20, 128), jnp.float32))
         jax.jit(call).lower().compile()
         _NONDIV_OK = True
-    except Exception:
+        _probe_disk_put("feature:nondiv_out", True)
+    except Exception as ex:
         if _os.environ.get("HT_DEBUG_PROBE"):
             import traceback
             traceback.print_exc()
         _NONDIV_OK = False
+        if not _transient_error(ex):
+            _probe_disk_put("feature:nondiv_out", False)
     return _NONDIV_OK
 
 
@@ -447,18 +546,24 @@ def _probe_full_kernel(call, arrays, tag: str):
             f"kernel probe lowering: {type(ex).__name__}: "
             f"{str(ex)[:160]}")
     hit = _FULL_PROBE_CACHE.get(key)
+    if hit is None:
+        hit = _probe_disk_get(f"kernel:{key}")
     if hit is False:
         raise PallasUnsupported(f"backend rejected kernel (cached): {tag}")
     if hit:
+        _FULL_PROBE_CACHE[key] = True
         return
     try:
         _fresh_stack(lowered.compile)
     except Exception as ex:
         _FULL_PROBE_CACHE[key] = False
+        if not _transient_error(ex):
+            _probe_disk_put(f"kernel:{key}", False)
         raise PallasUnsupported(
             f"backend rejected kernel: {type(ex).__name__}: "
             f"{str(ex)[:200]}")
     _FULL_PROBE_CACHE[key] = True
+    _probe_disk_put(f"kernel:{key}", True)
 
 
 def try_pallas_group(f: Func, box: Box, ctx0: Ctx, graph, boxes):

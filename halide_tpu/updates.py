@@ -1092,10 +1092,29 @@ def _dense_small_scatter(cur, op, garr, np_idx, vtype, identity, inner,
             b = _value_abs_bound(vexpr, vtype) if vexpr is not None else None
             exact_ok = b is not None and b * n_red < (1 << 24)
         if exact_ok:
+            # narrowest exact MXU operand width: the two one-hot operands
+            # dominate HBM traffic. Measured on v5e (hist 1536x2560):
+            # f32 1.01ms, bf16 0.55ms, int8 0.70ms -- bf16 wins (the s8
+            # dot pays a layout conversion), so bf16 whenever the values
+            # are exactly representable (integers |v| <= 256).
+            mode = "f32"
+            b2 = _value_abs_bound(vexpr, vtype) if vexpr is not None else None
+            if b2 is not None:
+                if vtype is not None and vtype.is_integer() \
+                        and float(b2) == int(b2) and b2 <= 256:
+                    mode = "bf16"
+                elif float(jnp.bfloat16(float(b2))) == float(b2):
+                    # bf16-exact magnitude bound only helps when the value
+                    # itself is a constant (bound == |value|)
+                    e = vexpr
+                    while isinstance(e, E.Cast):
+                        e = e.value
+                    if isinstance(e, (E.IntImm, E.FloatImm)):
+                        mode = "bf16"
             lin_b = jnp.broadcast_to(lin, jnp.broadcast_shapes(
                 jnp.shape(lin), jnp.shape(garr)))
             contrib = onehot_mxu.scatter_add_factored(
-                lin_b, garr, K, red_np)
+                lin_b, garr, K, red_np, mode=mode)
     if contrib is None:
         # K leads here too (see the unrolled branch above): keep the
         # batch minor axis on the 128 lanes, reduce, then transpose the

@@ -508,3 +508,36 @@ def test_nl_means_boxsum_kernel_engages():
     _app_engages_and_matches("nl_means", width=256, height=64,
                              patch_size=5, search_area=5,
                              _env={"HALIDE_TPU_NLM_KERNEL": "1"})
+
+
+def test_probe_disk_cache_roundtrip(tmp_path, monkeypatch):
+    # probe outcomes persist across processes keyed by (jax ver, backend,
+    # id): a fresh process reads the cached verdict instead of paying the
+    # probe compile -- and a wedged-backend failure (transient) is never
+    # remembered as a rejection
+    from halide_tpu.ops import pallas_group as pg
+    monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", str(tmp_path))
+    pg._PROBE_DISK = None
+    assert pg._probe_disk_get("feature:x") is None
+    pg._probe_disk_put("feature:x", True)
+    pg._PROBE_DISK = None          # simulate a fresh process
+    assert pg._probe_disk_get("feature:x") is True
+    pg._probe_disk_put("feature:x", False)
+    assert pg._probe_disk_get("feature:x") is False
+    # feature probe consults the disk without compiling
+    monkeypatch.setattr(pg, "_REPEAT_OK", None)
+    pg._probe_disk_put("feature:kernel_repeat", False)
+    assert pg._repeat_kernel_ok() is False
+    monkeypatch.setattr(pg, "_REPEAT_OK", None)
+    pg._probe_disk_put("feature:kernel_repeat", True)
+    assert pg._repeat_kernel_ok() is True
+    pg._PROBE_DISK = None
+
+
+def test_probe_transient_errors_not_cached():
+    from halide_tpu.ops import pallas_group as pg
+    assert pg._transient_error(RuntimeError(
+        "UNAVAILABLE: failed to connect to all addresses"))
+    assert pg._transient_error(TimeoutError("deadline exceeded"))
+    assert not pg._transient_error(RuntimeError(
+        "Mosaic failed to lower: unsupported shape cast"))

@@ -330,3 +330,48 @@ def test_update_unroll_rvar_forces_unrolled_lowering():
             os.environ.pop("HALIDE_TPU_UNROLL_TAPS", None)
         else:
             os.environ["HALIDE_TPU_UNROLL_TAPS"] = old
+
+
+@pytest.mark.parametrize("mode", ["f32", "bf16", "int8"])
+def test_scatter_add_factored_narrow_modes_exact(mode):
+    # narrow MXU operand widths must stay exact: one-hot entries are 0/1
+    # in every width, and int8/bf16 are only selected for values they
+    # represent exactly (ints <= 127 / <= 256)
+    import jax.numpy as jnp
+    from halide_tpu.ops import onehot_mxu
+    rng = np.random.default_rng(5)
+    lin = jnp.asarray(rng.integers(0, 256, (37, 1536)), jnp.int32)
+    g = jnp.asarray(rng.integers(-3, 4, (37, 1536)), jnp.int32)
+    out = np.asarray(onehot_mxu.scatter_add_factored(
+        lin, g, 256, (1,), mode=mode))
+    want = np.zeros((37, 256), np.int64)
+    ln, gn = np.asarray(lin), np.asarray(g)
+    for r in range(37):
+        np.add.at(want[r], ln[r], gn[r])
+    np.testing.assert_array_equal(out.astype(np.int64), want)
+
+
+def test_hist_factored_scatter_uses_bf16_mode(monkeypatch):
+    # apps/hist's +1 counts satisfy the int8 bound; assert the mode
+    # selection picks the narrow path (traffic = the perf claim)
+    from halide_tpu.ops import onehot_mxu
+    seen = {}
+    orig = onehot_mxu.scatter_add_factored
+
+    def spy(lin, g, K, red_axes, mode="f32"):
+        seen["mode"] = mode
+        return orig(lin, g, K, red_axes, mode=mode)
+
+    monkeypatch.setattr(onehot_mxu, "scatter_add_factored", spy)
+    x, y = hl.Var("x"), hl.Var("y")
+    inp = hl.Buffer(np.random.default_rng(0).integers(
+        0, 256, (33, 640), np.uint8))
+    hr = hl.Func("hist_rows_nw")
+    hr[x, y] = 0
+    rx = hl.RDom(0, 640, "rx")
+    hr[hl.i32(inp[rx.x, y]), y] += 1
+    out = hr.realize([256, 33]).to_numpy()
+    want = np.stack([np.bincount(r, minlength=256)
+                     for r in inp.to_numpy()])
+    np.testing.assert_array_equal(out, want)
+    assert seen.get("mode") == "bf16", seen
