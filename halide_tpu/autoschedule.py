@@ -27,6 +27,11 @@ TPU actually charges for (all measured on v5e during bring-up):
 template for autodiff pipelines (li2018/GradientAutoscheduler.cpp):
 compute_root + parallelize/vectorize per func, and rfactor'd reduction
 parallelism for small-pure-domain associative updates.
+
+"Anderson2021" is the autotuning scheduler: the beam's top-K candidates
+are compiled and TIMED on the attached backend (serialized pipeline
+clones), and the measured winner is applied — the reference's
+autotune_loop + retrain cycle collapsed to one in-process tournament.
 """
 from __future__ import annotations
 
@@ -350,25 +355,35 @@ def _greedy(an: _Analysis) -> Set[int]:
 def _beam(an: _Analysis, width: int = 8) -> Set[int]:
     """Beam search over flip sequences (reference: adams2019's State/
     LoopNest beam, AutoSchedule.cpp; analytical model instead of learned)."""
+    return _beam_topk(an, width, 1)[0]
+
+
+def _beam_topk(an: _Analysis, width: int, k: int) -> List[Set[int]]:
+    """The beam search, returning the k cheapest DISTINCT states it
+    evaluated (candidate pool for the Anderson2021 autotuning pass)."""
     start = frozenset(_default_decisions(an))
-    beam = [(_cost(an, set(start)), start)]
+    seen = {start: _cost(an, set(start))}
+    beam = [(seen[start], start)]
     best = beam[0]
     for _ in range(len(an.free)):
         nxt = {}
         for c0, state in beam:
             for fid in an.free:
                 s2 = frozenset(state ^ {fid})
-                if s2 in nxt:
+                if s2 in seen or s2 in nxt:
                     continue
                 nxt[s2] = _cost(an, set(s2))
         if not nxt:
             break
+        seen.update(nxt)
         beam = sorted(((c, s) for s, c in nxt.items()))[:width]
         if beam[0][0] < best[0] - 1e-6:
             best = beam[0]
         else:
             break
-    return set(best[1])
+    ranked = sorted(seen.items(), key=lambda it: it[1])
+    out = [set(s) for s, _c in ranked[:k]]
+    return out or [set(start)]
 
 
 # ---------------------------------------------------------------------------
@@ -545,6 +560,104 @@ def _adams(pipeline, target, params):
     return _apply(pipeline, an, mat, params)
 
 
+def _anderson2021(pipeline, target, params):
+    """Autotuning autoscheduler (reference: src/autoschedulers/anderson2021
+    — adams2019's beam adapted for throughput hardware, driven by MEASURED
+    samples via autotune_loop.sh + retrain; AutoSchedule.cpp, ~9.3k LoC).
+    TPU analog: the beam's top-K candidate groupings are applied to
+    serialized CLONES of the pipeline, compiled and timed on the attached
+    backend with the caller's bound inputs, and the measured winner is
+    applied to the real pipeline. Search is the shared beam; ranking is
+    real hardware time instead of the model (the model only picks the K
+    candidates worth paying a compile for)."""
+    import time as _time
+
+    from .buffer import ImageParam
+    from .serialize import deserialize_pipeline, serialize_pipeline
+
+    params = params or {}
+    an = _Analysis(pipeline)
+    k = max(1, int(params.get("samples", 4)))
+    width = int(params.get("beam_size", 8))
+    reps = max(1, int(params.get("benchmarks", 3)))
+    cands = _beam_topk(an, width, k)
+    if len(cands) <= 1:
+        return _apply(pipeline, an, cands[0], params)
+
+    sizes = []
+    for out in pipeline.outputs:
+        ext = _estimate_extents(out)
+        if ext is None:
+            sizes = None
+            break
+        sizes.append(ext)
+    in_arrays = {}
+    in_scalars = {}
+    measurable = sizes is not None and len(pipeline.outputs) == 1
+    if measurable:
+        for t in an.g.inputs.values():
+            if isinstance(t, ImageParam):
+                if t._bound is None:
+                    measurable = False
+                    break
+                in_arrays[t.name] = t.get()
+        for p in an.g.params.values():
+            if p._value is None:
+                measurable = False
+                break
+            in_scalars[p.name] = p.get()
+    if not measurable:
+        # nothing to time against (unbound inputs / no output estimates):
+        # degrade to the model-ranked best, like Adams2019
+        return _apply(pipeline, an, cands[0], params)
+
+    try:
+        blob = serialize_pipeline(pipeline)
+    except CompileError:
+        return _apply(pipeline, an, cands[0], params)
+
+    def measure(cand: Set[int]):
+        names = {an.by_id[fid].name for fid in cand}
+        pipe2, images2, params2 = deserialize_pipeline(blob)
+        an2 = _Analysis(pipe2)
+        mat2 = {fid for fid in an2.by_id
+                if an2.by_id[fid].name in names}
+        _apply(pipe2, an2, mat2, params)
+        for nm, buf in in_arrays.items():
+            images2[nm].set(buf)
+        for nm, v in in_scalars.items():
+            params2[nm].set(v)
+        import numpy as _np
+
+        def once():
+            t0 = _time.perf_counter()
+            r = pipe2.realize(sizes[0])
+            _np.asarray(r.to_numpy().reshape(-1)[:1])
+            return _time.perf_counter() - t0
+        once()                              # compile + warm the jit cache
+        return min(once() for _ in range(reps))
+
+    timed = []
+    for cand in cands:
+        try:
+            timed.append((measure(cand), cand))
+        except Exception:
+            continue                        # a candidate that fails to
+            # compile/run simply drops out of the tournament
+    if not timed:
+        return _apply(pipeline, an, cands[0], params)
+    timed.sort(key=lambda it: it[0])
+    res = _apply(pipeline, an, timed[0][1], params)
+    res["autotuned"] = {
+        "samples": len(timed),
+        "best_ms": timed[0][0] * 1e3,
+        "times_ms": [round(t * 1e3, 4) for t, _ in timed],
+        "model_rank_of_winner": next(
+            i for i, c in enumerate(cands) if c == timed[0][1]),
+    }
+    return res
+
+
 def _li2018(pipeline, target, params):
     """Gradient autoscheduler (reference: src/autoschedulers/li2018/
     GradientAutoscheduler.cpp, apply_schedule @573): a search-free template
@@ -638,3 +751,4 @@ def _li2018(pipeline, target, params):
 register_autoscheduler("Mullapudi2016", _mullapudi)
 register_autoscheduler("Adams2019", _adams)
 register_autoscheduler("Li2018", _li2018)
+register_autoscheduler("Anderson2021", _anderson2021)

@@ -114,3 +114,46 @@ def test_li2018_large_pure_domain_no_rfactor():
     idx = np.clip(np.arange(128)[:, None] + np.arange(16)[None, :], 0, 127)
     ref = data[idx, :].sum(axis=1)
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_anderson2021_autotunes_by_measurement():
+    """Anderson2021 (reference: src/autoschedulers/anderson2021 — beam +
+    measured autotune loop): top-K beam candidates are timed on serialized
+    clones and the measured winner is applied; the report carries the
+    sample times."""
+    x, y = hl.Var("x"), hl.Var("y")
+    img = hl.ImageParam(hl.Float(32), 2, "an_in")
+    a, b, out = hl.Func("an_a"), hl.Func("an_b"), hl.Func("an_out")
+    a[x, y] = img[x, y] * 2.0 + img[x + 1, y]
+    b[x, y] = a[x, y] + a[x, y + 1]
+    out[x, y] = b[x, y] * 0.5 + a[x, y]
+    out.set_estimates([(0, 256), (0, 64)])
+    rng = np.random.default_rng(3)
+    data = rng.random((66, 258), np.float32)
+    img.set(data)
+    p = hl.Pipeline(out)
+    res = p.apply_autoscheduler(params={"name": "Anderson2021",
+                                        "samples": 3, "benchmarks": 2})
+    assert "autotuned" in res, res
+    assert res["autotuned"]["samples"] >= 2
+    assert res["autotuned"]["best_ms"] <= min(
+        res["autotuned"]["times_ms"]) + 1e-3   # times_ms are rounded
+    got = p.realize([256, 64]).to_numpy()
+    a_full = data[:66, :257] * 2.0 + data[:66, 1:258]
+    b_full = a_full[:65] + a_full[1:66]
+    want = b_full[:64, :256] * 0.5 + a_full[:64, :256]
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_anderson2021_unbound_inputs_degrades_to_model():
+    """With nothing to time against (unbound inputs), Anderson2021 must
+    still produce a schedule — model-ranked, no autotuned report."""
+    x, y = hl.Var("x"), hl.Var("y")
+    img = hl.ImageParam(hl.Float(32), 2, "an2_in")
+    f = hl.Func("an2_f")
+    f[x, y] = img[x, y] + 1.0
+    f.set_estimates([(0, 128), (0, 32)])
+    p = hl.Pipeline(f)
+    res = p.apply_autoscheduler(params={"name": "Anderson2021"})
+    assert "schedule_source" in res
+    assert "autotuned" not in res
