@@ -145,7 +145,37 @@ def build(width: int = 1536, height: int = 2560, s_sigma: int = 8,
     zi2 = hl.i32(zv)
     zf = zv - zi2
     imz = hl.Func("bgu_imz")
-    imz[x, y, c] = hl.lerp(imx[x, y, zi2, c], imx[x, y, zi2 + 1, c], zf)
+    import os
+    # slice formulation A/B (measured v5e 1280x768, see schedule block):
+    # "lerp" wins -- the corner-first form measured 2.1x slower in-kernel
+    # (4.48 vs 2.17 ms) and 15x slower inline (42 ms): Mosaic lowers the
+    # shared select-chain of _shift_sum far better than 40 independent
+    # weighted plane reads
+    _slice_form = os.environ.get("HALIDE_TPU_BGU_SLICE", "lerp")
+    if _slice_form == "corner":
+        # corner-first trilinear: contract over z on the RAW line corner
+        # values (one weighted sum of static-z planes per corner), THEN
+        # bilinear in xy -- vs the lerp form, whose z select-chain
+        # re-evaluates a full xy-bilinear tower per unrolled plane.
+        # Mathematically identical (linear ops commute); fp rounding
+        # differs within the app tolerance.
+        nplanes = nbins + 2          # zi2 in [0, nbins], +1 for the shift
+        wz = [hl.select(zi2 == zz, 1.0 - zf,
+                        hl.select(zi2 == zz - 1, zf, hl.f32(0.0)))
+              for zz in range(nplanes)]
+
+        def corner_sum(dx_, dy_):
+            return sum((wz[zz] * line[xi + dx_, yi + dy_, zz, c]
+                        for zz in range(nplanes)), start=hl.f32(0.0))
+
+        imz[x, y, c] = (
+            (1.0 - xf) * ((1.0 - yf) * corner_sum(0, 0)
+                          + yf * corner_sum(0, 1))
+            + xf * ((1.0 - yf) * corner_sum(1, 0)
+                    + yf * corner_sum(1, 1)))
+    else:
+        imz[x, y, c] = hl.lerp(imx[x, y, zi2, c], imx[x, y, zi2 + 1, c],
+                               zf)
 
     interpolated = hl.Func("bgu_interp")
     interpolated[x, y, c] = (
@@ -161,18 +191,32 @@ def build(width: int = 1536, height: int = 2560, s_sigma: int = 8,
     # the full-res slice): one Pallas kernel per tile with the coarse
     # `line` table staged in VMEM (partial sublane pre-expansion keeps the
     # 64-pixel-cell window strides aligned) -- same structure as
-    # bilateral_grid's slice kernel. Measured v5e 1280x768: 2.17 ms fused
-    # XLA -> 1.79 ms through the kernel at 256x256 (pipelined DMA);
-    # 256x512 2.84, 512x256 2.71. Override/disable: HALIDE_TPU_BGU_TILE.
-    import os
-    _tile = os.environ.get("HALIDE_TPU_BGU_TILE", "256x256")
+    # bilateral_grid's slice kernel. Measured v5e 1280x768 (round 4):
+    # tile shape is nearly flat (2.80-2.95 ms at 64x64..1280x64, fused XLA
+    # 2.86) -- the cost was imz's INLINE duplication: interpolated reads
+    # imz[.., 4c+j] for j=0..3, so the whole z-select tower and its table
+    # relayouts ran 4x. imz as a kernel member: 2.80 -> 2.17 ms @256x256,
+    # 1.98-2.13 @512x256 (best). imy as member regressed (4.8 ms: its
+    # 6-wide coarse-x lane axis wastes the VPU). Overrides:
+    # HALIDE_TPU_BGU_TILE / _IMZ / _IMY / _SLICE.
+    _tile = os.environ.get("HALIDE_TPU_BGU_TILE", "512x256")
     if _tile and _tile != "0":
         tx, ty = (int(v) for v in _tile.split("x"))
         xo, yo = hl.Var("xo"), hl.Var("yo")
         xin, yin = hl.Var("xin"), hl.Var("yin")
-        output.tile(x, y, xo, yo, xin, yin, tx, ty) \
+        output.tile(x, y, xo, yo, xin, yin, min(tx, max(width, 8)),
+                    min(ty, max(height, 8))) \
               .vectorize(xin).parallel(yo)
         interpolated.compute_at(output, xo)
+        if os.environ.get("HALIDE_TPU_BGU_IMZ", "member") == "member":
+            # materialize the 12-channel z-selection once per tile:
+            # inline, interpolated's 4*c+j reads duplicate the whole
+            # z-select tower (and its table relayouts) 4x
+            imz.compute_at(output, xo)
+        if os.environ.get("HALIDE_TPU_BGU_IMY", "inline") == "member":
+            # materialize the y-lerp at coarse x (tile box ~6 coarse x
+            # cells x ty x z x c): REGRESSES (see above) -- kept for A/B
+            imy.compute_at(output, xo)
 
     def make_inputs(seed=0):
         rng = np.random.default_rng(seed)

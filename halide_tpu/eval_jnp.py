@@ -900,10 +900,11 @@ def _reshape_repeat_ok() -> bool:
         _RESHAPE_REPEAT_OK = True
         return True
     from .ops import pallas_group as _pg
-    disk = _pg._probe_disk_get("feature:reshape_repeat")
-    if disk is not None:
-        _RESHAPE_REPEAT_OK = disk
-        return disk
+    if _pg._probe_disk_get("feature:reshape_repeat") is True:
+        # only a cached PASS short-circuits; a cached False re-probes
+        # live so poisoned verdicts self-heal (see pallas_group)
+        _RESHAPE_REPEAT_OK = True
+        return True
     try:
         import jax.experimental.pallas as pl
 

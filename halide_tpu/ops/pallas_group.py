@@ -185,10 +185,13 @@ def _repeat_kernel_ok() -> bool:
     global _REPEAT_OK
     if _REPEAT_OK is not None:
         return _REPEAT_OK
-    disk = _probe_disk_get("feature:kernel_repeat")
-    if disk is not None:
-        _REPEAT_OK = disk
-        return disk
+    if _probe_disk_get("feature:kernel_repeat") is True:
+        # only a cached PASS short-circuits: a cached False may be a
+        # poisoned verdict (e.g. a probe that was unfaithful to the
+        # emitted kernels, or an unrecognized transient) -- re-probing
+        # live lets it self-heal, while a real rejection just re-fails
+        _REPEAT_OK = True
+        return True
     try:
         import jax.experimental.pallas as pl
         from ..eval_jnp import _kernel_repeat
@@ -419,20 +422,23 @@ def _bandsplit_ok(interpret: bool) -> bool:
     global _BANDSPLIT_OK
     if _BANDSPLIT_OK is not None:
         return _BANDSPLIT_OK
-    disk = _probe_disk_get("feature:bandsplit")
-    if disk is not None:
-        _BANDSPLIT_OK = disk
-        return disk
+    if _probe_disk_get("feature:bandsplit") is True:
+        _BANDSPLIT_OK = True    # cached False re-probes (see kernel_repeat)
+        return True
     try:
         import jax.experimental.pallas as pl
 
         def k(o_ref):
             o_ref[...] = jnp.ones((8, 128), jnp.float32)
 
+        # the index map must mirror what the real kernels emit: i32
+        # components only (a bare Python 0 traces as i64 under
+        # jax_enable_x64 and Mosaic fails to legalize func.return --
+        # which would make this probe falsely reject the feature)
         call = pl.pallas_call(
             k, grid=(2, 2),
             out_specs=pl.BlockSpec((8, 128),
-                                   lambda o, i: (o * 2 + i, 0)),
+                                   lambda o, i: (o * 2 + i, jnp.int32(0))),
             out_shape=jax.ShapeDtypeStruct((32, 128), jnp.float32))
         jax.jit(call).lower().compile()
         _BANDSPLIT_OK = True
@@ -458,19 +464,20 @@ def _nondiv_out_ok(interpret: bool) -> bool:
     global _NONDIV_OK
     if _NONDIV_OK is not None:
         return _NONDIV_OK
-    disk = _probe_disk_get("feature:nondiv_out")
-    if disk is not None:
-        _NONDIV_OK = disk
-        return disk
+    if _probe_disk_get("feature:nondiv_out") is True:
+        _NONDIV_OK = True       # cached False re-probes (see kernel_repeat)
+        return True
     try:
         import jax.experimental.pallas as pl
 
         def k(o_ref):
             o_ref[...] = jnp.ones((8, 128), jnp.float32)
 
+        # i32 index-map constants, mirroring the emitted kernels (see
+        # _bandsplit_ok)
         call = pl.pallas_call(
             k, grid=(2,),
-            out_specs=pl.BlockSpec((8, 128), lambda i: (i, 0)),
+            out_specs=pl.BlockSpec((8, 128), lambda i: (i, jnp.int32(0))),
             out_shape=jax.ShapeDtypeStruct((20, 128), jnp.float32))
         jax.jit(call).lower().compile()
         _NONDIV_OK = True
@@ -546,11 +553,12 @@ def _probe_full_kernel(call, arrays, tag: str):
             f"kernel probe lowering: {type(ex).__name__}: "
             f"{str(ex)[:160]}")
     hit = _FULL_PROBE_CACHE.get(key)
-    if hit is None:
-        hit = _probe_disk_get(f"kernel:{key}")
     if hit is False:
+        # in-PROCESS rejection is authoritative; a disk-cached False is
+        # only a hint (it may be poisoned) -- retry the compile live once
+        # per process and let a pass overwrite it
         raise PallasUnsupported(f"backend rejected kernel (cached): {tag}")
-    if hit:
+    if hit or _probe_disk_get(f"kernel:{key}") is True:
         _FULL_PROBE_CACHE[key] = True
         return
     try:

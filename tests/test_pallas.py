@@ -512,9 +512,10 @@ def test_nl_means_boxsum_kernel_engages():
 
 def test_probe_disk_cache_roundtrip(tmp_path, monkeypatch):
     # probe outcomes persist across processes keyed by (jax ver, backend,
-    # id): a fresh process reads the cached verdict instead of paying the
-    # probe compile -- and a wedged-backend failure (transient) is never
-    # remembered as a rejection
+    # id): a cached PASS short-circuits the probe compile in a fresh
+    # process; a cached False is only a HINT (it may be poisoned by an
+    # unfaithful probe or unrecognized transient) and re-probes live
+    import jax as _jax
     from halide_tpu.ops import pallas_group as pg
     monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", str(tmp_path))
     pg._PROBE_DISK = None
@@ -524,13 +525,26 @@ def test_probe_disk_cache_roundtrip(tmp_path, monkeypatch):
     assert pg._probe_disk_get("feature:x") is True
     pg._probe_disk_put("feature:x", False)
     assert pg._probe_disk_get("feature:x") is False
-    # feature probe consults the disk without compiling
-    monkeypatch.setattr(pg, "_REPEAT_OK", None)
-    pg._probe_disk_put("feature:kernel_repeat", False)
-    assert pg._repeat_kernel_ok() is False
+    # cached True short-circuits WITHOUT compiling: jit would blow up
     monkeypatch.setattr(pg, "_REPEAT_OK", None)
     pg._probe_disk_put("feature:kernel_repeat", True)
+
+    def boom(*a, **k):
+        raise AssertionError("cached pass must not re-compile")
+    monkeypatch.setattr(_jax, "jit", boom)
     assert pg._repeat_kernel_ok() is True
+    monkeypatch.undo()
+    monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", str(tmp_path))
+    # cached False does NOT short-circuit: the live probe runs and its
+    # verdict stands (self-healing when the poisoned entry was wrong)
+    pg._probe_disk_put("feature:kernel_repeat", False)
+    pg._REPEAT_OK = None
+    res = pg._repeat_kernel_ok()
+    assert isinstance(res, bool)
+    if res:                        # live pass must overwrite the False
+        pg._PROBE_DISK = None
+        assert pg._probe_disk_get("feature:kernel_repeat") is True
+    pg._REPEAT_OK = None
     pg._PROBE_DISK = None
 
 
