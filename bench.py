@@ -109,6 +109,11 @@ RANK = {n: i for i, n in enumerate([
     "conv_layer", "depthwise_separable_conv", "gaussian_blur",
     "wavelet", "resize", "linear_blur", "fft", "sgemm", "saxpy",
     "sdot", "sgemv", "resnet_50", "lens_blur"])}
+# lens_blur sits before the BLAS tail (VERDICT r4 #3: it never reached a
+# driver artifact while ranked dead last), but after the full app set --
+# its frame costs ~27 ms and its compile is the slowest in the suite, so
+# a cache miss must only eat its own deadline, not the BLAS/auto rows'.
+RANK["lens_blur"] = 20.8
 
 # autoscheduler-vs-manual comparison set: re-benched with
 # apply_autoscheduler driving the schedule (reported as `auto:<app>`,
@@ -145,10 +150,13 @@ def _force(out):
 
 def bench_one(app, min_delta_s=0.1, max_n=128, chain_k=24, chain=True):
     """Per-frame steady-state time. Primary protocol: run K frames inside
-    ONE jitted lax.fori_loop with a data dependency injected between
-    iterations (a zero-valued token derived from the previous output is
-    added to the first input), so iterations serialize on the device and
-    per-call tunnel/dispatch overhead is excluded: per = (t_K - t_1)/(K-1).
+    ONE jitted lax.fori_loop, with iterations pinned by
+    lax.optimization_barrier so XLA can neither hoist the (otherwise
+    loop-invariant) body out of the loop nor dead-code-eliminate any part
+    of the output cone: per = (t_K - t_1)/(K-1). The barriers compile to
+    nothing, so the protocol adds ZERO data movement per frame -- the
+    round-4 token protocol (input+bump copy, full-output reduction) tripled
+    the measured HBM traffic of bandwidth-bound apps (blur 36us -> 160us).
     Falls back to host-loop run-length differencing.
     (Replaces the reference's min-time loop, tools/halide_benchmark.h.)"""
     import jax
@@ -160,69 +168,71 @@ def bench_one(app, min_delta_s=0.1, max_n=128, chain_k=24, chain=True):
 
     @jax.jit
     def chain_run(args, k):
-        def body(i, tok):
-            # inject an analysis-resistant (but numerically inert) data
-            # dependency so XLA cannot elide iterations: the branch is
-            # taken only if the previous output's first element bitcasts
-            # to INT_MIN
+        def poke(a, tok):
+            # in-place corner poke: write a token-derived zero into one
+            # element of the loop-CARRIED buffer. The carried buffer is
+            # dead after the update, so XLA updates it in place (~free),
+            # yet the buffer is now data-dependent on the previous
+            # iteration's output -- XLA can neither hoist any computation
+            # that reads it out of the loop nor CSE across iterations.
+            # (An optimization_barrier alone does NOT stop while-loop
+            # LICM: hist measured 0.056 ms barrier-only vs 0.81 ms with
+            # genuinely changing inputs -- the scatter+scan was hoisted.)
+            idx = (jnp.int32(0),) * a.ndim
+            corner = jax.lax.dynamic_slice(a, idx, (1,) * a.ndim)
             bump = jnp.where(tok == jnp.int32(-2147483648),
-                             jnp.ones((), args[0].dtype),
-                             jnp.zeros((), args[0].dtype))
-            a0 = args[0] + bump
-            out = fn((a0,) + args[1:], presets)
-            # the token must depend on EVERY output element: a full
-            # reduction per leaf (fuses into the producer's epilogue).
-            # Deriving it from one element lets XLA dead-code-eliminate
-            # everything outside that element's dependency cone -- local
-            # stencil pipelines then "run" in microseconds.
-            acc = jnp.float32(0)
-            for leaf in jax.tree_util.tree_leaves(out):
-                acc = acc + jnp.sum(leaf).astype(jnp.float32)
-            return jax.lax.bitcast_convert_type(acc, jnp.int32)
+                             jnp.ones_like(corner), jnp.zeros_like(corner))
+            return jax.lax.dynamic_update_slice(a, corner + bump, idx)
+
+        def body(i, state):
+            tok, arrs = state
+            arrs = tuple(poke(a, tok) for a in arrs)
+            out = fn(arrs, presets)
+            # barrier EVERY output leaf: only the token leaves the loop,
+            # but XLA cannot shrink an optimization_barrier's operand
+            # list, so the full output cone stays live (the round-3
+            # one-element token let XLA slice local stencil pipelines
+            # down to one element's dependency cone)
+            leaves = jax.tree_util.tree_leaves(out)
+            leaves = jax.lax.optimization_barrier(tuple(leaves))
+            x = leaves[0].reshape(-1)[0]
+            tok = jax.lax.bitcast_convert_type(
+                x.astype(jnp.float32), jnp.int32)
+            return (tok, arrs)
         # k is a traced bound: one compile serves both run lengths
-        return jax.lax.fori_loop(0, k, body, jnp.int32(0), unroll=False)
+        tok, _ = jax.lax.fori_loop(0, k, body, (jnp.int32(0), args),
+                                   unroll=False)
+        return tok
 
     try:
         if not chain:
             raise _SkipChain()
-        _force(chain_run(args, jnp.int32(1)))
-        _force(chain_run(args, jnp.int32(chain_k)))
+        _force(chain_run(args, jnp.int32(1)))   # one compile (k is traced)
 
-        def chain_delta(k, trials=3):
-            # difference the MINIMUM endpoints, not the per-trial deltas:
-            # a single inflated t1 (tunnel queue flush) makes every
-            # per-trial delta garbage (one 72us kernel measured 1e-9 and
-            # 0.54ms on consecutive protocols), while min(t1)/min(tk) are
-            # each stable order statistics
-            t1s, tks = [], []
+        def endpoint(k, trials=3):
+            # MINIMUM endpoint, a stable order statistic: the per-call
+            # tunnel round-trip is ~33 ms with several ms of jitter, so
+            # per-trial deltas at small k are garbage (a 28 us/frame app
+            # measured 0.0246 ms at k=24 and 0.12 ms at k=255)
+            best = None
             for _ in range(trials):
                 t0 = time.perf_counter()
-                _force(chain_run(args, jnp.int32(1)))
-                t1s.append(time.perf_counter() - t0)
-                t0 = time.perf_counter()
                 _force(chain_run(args, jnp.int32(k)))
-                tks.append(time.perf_counter() - t0)
-            return (min(tks) - min(t1s)) / (k - 1)
-
-        best = chain_delta(chain_k)
-        if best < 5e-4:
-            # sub-noise regime: the k=24 delta is comparable to tunnel
-            # jitter (one fast app measured 0.005ms, another 7x high);
-            # lengthen the chain 10x for resolution -- k is traced, so no
-            # recompile
-            k2 = 255
-            best2 = chain_delta(k2)
-            if best2 > 3e-5:
-                return best2
-            # a sub-30us per-frame delta through the tunnel means the
-            # chain was optimized out (one app posted 0.0003ms = an
-            # impossible >1TB/s); trust the host-loop protocol instead
-            raise _SkipChain()
-        # sub-microsecond per-frame deltas mean the chain was optimized out
-        # or timing noise swamped the difference: fall back to host-loop
-        # run-length differencing
-        if best > 1e-6:
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
             return best
+
+        # rough single-shot frame estimate, only to size the chain so the
+        # endpoint delta clears the ~2 ms RTT jitter floor
+        est = max((endpoint(48, 1) - endpoint(12, 1)) / 36, 2e-5)
+        k_hi = int(min(max(0.35 / est, 48), 511))
+        k_lo = max(k_hi // 4, 8)
+        per = (endpoint(k_hi) - endpoint(k_lo)) / (k_hi - k_lo)
+        # sub-microsecond per-frame deltas mean the chain was optimized
+        # out or noise swamped the difference: fall back to host-loop
+        # run-length differencing
+        if per > 1e-6:
+            return per
     except Exception:
         pass
 
@@ -425,6 +435,15 @@ def _emit(results, ratios, errors, device=""):
         "vs_baseline": round(vs, 3),
         "device": device,
     }
+    if len(vals) < 20:
+        # integrity guard (VERDICT r4 #10): a geomean over a truncated app
+        # set is NOT comparable to a full run (round 4's 9-app "2.70x"
+        # headline vs round 3's 26-app set) -- mark it partial and refuse
+        # the vs_baseline claim, keeping the raw ratio for diagnostics
+        headline["partial"] = True
+        headline["n_headline"] = len(vals)
+        headline["vs_baseline_partial"] = headline.pop("vs_baseline")
+        headline["vs_baseline"] = 0.0
     # full record first (may be huge), compact headline LAST: the driver
     # keeps the TAIL of stdout, so a front-truncation of the big line must
     # never eat the geomean (it did in round 3, BENCH_r03.json parsed:null)

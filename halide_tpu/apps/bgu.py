@@ -204,8 +204,11 @@ def build(width: int = 1536, height: int = 2560, s_sigma: int = 8,
         tx, ty = (int(v) for v in _tile.split("x"))
         xo, yo = hl.Var("xo"), hl.Var("yo")
         xin, yin = hl.Var("xin"), hl.Var("yin")
-        output.tile(x, y, xo, yo, xin, yin, min(tx, max(width, 8)),
-                    min(ty, max(height, 8))) \
+        # small test sizes keep the tiled structure: clamp the tile to the
+        # extent, with an 8 floor (tile > extent is tolerated by the tail
+        # path but wasteful)
+        output.tile(x, y, xo, yo, xin, yin, max(min(tx, width), 8),
+                    max(min(ty, height), 8)) \
               .vectorize(xin).parallel(yo)
         interpolated.compute_at(output, xo)
         if os.environ.get("HALIDE_TPU_BGU_IMZ", "member") == "member":

@@ -24,27 +24,24 @@ def build(width: int = 2560, height: int = 1536) -> App:
     blur_x[x, y] = (inp[x, y] + inp[x + 1, y] + inp[x + 2, y]) / 3
     blur_y[x, y] = (blur_x[x, y] + blur_x[x, y + 1] + blur_x[x, y + 2]) / 3
 
-    # schedule: one Pallas kernel per row-band -- full-width tiles, blur_x
-    # staged in VMEM (reference: apps/blur/halide_blur_generator.cpp:98-110
-    # tile+vectorize+parallel). Measured v5e: 0.081ms (XLA fusion) ->
-    # 0.048ms through the kernel path at 2560x1536 u16 (megacore split
-    # over row-bands; narrower tiles engage double-buffered DMA but
-    # full-width wins here).
-    xo, yo, xi, yi = hl.Var("xo"), hl.Var("yo"), hl.Var("xi"), hl.Var("yi")
+    # schedule: MEASURED default is the fused-XLA lowering (blur_x inline,
+    # one XLA fusion of shifts+adds) -- reference schedule analog:
+    # apps/blur/halide_blur_generator.cpp:98-110 tile+vectorize+parallel.
+    # Round-5 honest sweep at 2560x1536 u16 (poke-chain protocol,
+    # us/frame): fused XLA 41.8, kernel 2560x256 51.1, 2560x128 68.8,
+    # 1280x256 138.5, 1280x512 132.4. (The round-4 "36.4us @ 1280x256"
+    # was k=24-regime tunnel noise: the per-call RTT is ~33 ms, so short
+    # chains cannot resolve sub-0.5ms frames.) HALIDE_TPU_BLUR_TILE=WxH
+    # opts into the Pallas row-band kernel for hardware A/B.
     import os
     _tile = os.environ.get("HALIDE_TPU_BLUR_TILE")
     if _tile:   # tile-shape A/B on hardware (tools/abtest.py)
+        xo, yo = hl.Var("xo"), hl.Var("yo")
+        xi, yi = hl.Var("xi"), hl.Var("yi")
         tx_, ty_ = (int(v) for v in _tile.split("x"))
-    else:
-        # round-4 sweep at 2560x1536 u16 (us/frame): full-width x128
-        # 55.4, x256 45.1, 1280x128 71.4, **1280x256 36.4** (x-split
-        # doubles the DMA pipeline depth; 256-row bands amortize the
-        # per-step fixed cost), 1280x512 50.0. Clamped so small test
-        # sizes keep the same tiled structure.
-        tx_, ty_ = min(1280, max(width - 2, 8)), min(256, height - 2)
-    blur_y.tile(x, y, xo, yo, xi, yi, tx_, ty_) \
-          .vectorize(xi).parallel(yo)
-    blur_x.compute_at(blur_y, xo)
+        blur_y.tile(x, y, xo, yo, xi, yi, tx_, ty_) \
+              .vectorize(xi).parallel(yo)
+        blur_x.compute_at(blur_y, xo)
 
     def make_inputs(seed=0):
         rng = np.random.default_rng(seed)

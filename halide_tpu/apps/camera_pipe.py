@@ -202,10 +202,18 @@ def build(out_width: int = 2560, out_height: int = 1920,
     # exact kernel first and falls back to the fused-XLA ISP on reject,
     # so a Mosaic failure can never surface at execute time.
     import os
-    _cptile = os.environ.get("HALIDE_TPU_CP_TILE", "256x64")
-    _ctx, _cty = (int(v) for v in _cptile.split("x"))
-    if W % _ctx == 0 and H % _cty == 0 and \
-            os.environ.get("HALIDE_TPU_CP_KERNEL", "0") != "0":
+    _kernel_on = os.environ.get("HALIDE_TPU_CP_KERNEL", "0") != "0"
+    # parse the tile env only when the kernel path is enabled: a malformed
+    # HALIDE_TPU_CP_TILE must not break the (default) fused-XLA build
+    _ctx = _cty = 0
+    if _kernel_on:
+        _cptile = os.environ.get("HALIDE_TPU_CP_TILE", "256x64")
+        try:
+            _ctx, _cty = (int(v) for v in _cptile.split("x"))
+        except ValueError:
+            raise hl.CompileError(
+                f"HALIDE_TPU_CP_TILE={_cptile!r}: expected WxH, e.g. 256x64")
+    if _kernel_on and W % _ctx == 0 and H % _cty == 0:
         xo, yo, xin, yin = (hl.Var("xo"), hl.Var("yo"),
                             hl.Var("xin"), hl.Var("yin"))
         processed.tile(x, y, xo, yo, xin, yin, _ctx, _cty) \
@@ -233,6 +241,10 @@ def build(out_width: int = 2560, out_height: int = 1920,
         _roots = os.environ.get(
             "HALIDE_TPU_CP_ROOTS", "g_r,g_b,demosaiced,curved")
         for _n in filter(None, _roots.split(",")):
+            if _n not in _by_name:
+                raise hl.CompileError(
+                    f"HALIDE_TPU_CP_ROOTS: unknown stage {_n!r}; valid: "
+                    + ", ".join(sorted(_by_name)))
             _by_name[_n].compute_root()
 
     def make_inputs(seed=0):

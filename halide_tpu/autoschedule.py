@@ -629,21 +629,38 @@ def _anderson2021(pipeline, target, params):
             params2[nm].set(v)
         import numpy as _np
 
-        def once():
+        def run_n(n):
+            # issue n dispatches, force only the last: the attached-device
+            # tunnel defers execution past block_until_ready, and a single
+            # realize wall is dominated by per-call dispatch (~tens of ms)
             t0 = _time.perf_counter()
-            r = pipe2.realize(sizes[0])
+            r = None
+            for _ in range(n):
+                r = pipe2.realize(sizes[0])
             _np.asarray(r.to_numpy().reshape(-1)[:1])
             return _time.perf_counter() - t0
-        once()                              # compile + warm the jit cache
-        return min(once() for _ in range(reps))
+        run_n(1)                            # compile + warm the jit cache
+        # run-length differencing (bench.py protocol): t(2n) - t(n) cancels
+        # the constant dispatch/tunnel overhead that makes single-run walls
+        # unrankable (a 72us kernel has measured 1e-9..0.54ms single-shot)
+        n = max(2, reps)
+        best = min(run_n(2 * n) - run_n(n) for _ in range(3)) / n
+        return max(best, 1e-9)
 
     timed = []
+    dropped = []
     for cand in cands:
         try:
             timed.append((measure(cand), cand))
-        except Exception:
-            continue                        # a candidate that fails to
-            # compile/run simply drops out of the tournament
+        except Exception as ex:             # a candidate that fails to
+            # compile/run drops out of the tournament -- loudly, so a
+            # plumbing bug cannot silently shrink the sample set
+            names = sorted(an.by_id[fid].name for fid in cand)
+            dropped.append({"candidate": names,
+                            "err": f"{type(ex).__name__}: {str(ex)[:120]}"})
+            import sys as _sys
+            print(f"anderson2021: dropped candidate {names}: "
+                  f"{dropped[-1]['err']}", file=_sys.stderr)
     if not timed:
         return _apply(pipeline, an, cands[0], params)
     timed.sort(key=lambda it: it[0])
@@ -655,6 +672,12 @@ def _anderson2021(pipeline, target, params):
         "model_rank_of_winner": next(
             i for i, c in enumerate(cands) if c == timed[0][1]),
     }
+    if dropped:
+        res["autotuned"]["dropped"] = dropped
+    if len(timed) > 1 and timed[1][0] < timed[0][0] * 1.15:
+        # the top two are inside typical backend jitter: the "winner" may
+        # be noise -- surface that instead of claiming a measured ranking
+        res["autotuned"]["within_jitter"] = True
     return res
 
 

@@ -376,6 +376,7 @@ def _distributed_reduce(pipeline, sizes, mesh: Mesh, axis_name: str,
     # value, so partials composed with the collective equal the serial
     # reduction (the rfactor legality argument, updates._decompose_combine)
     ops = []
+    decs = []
     for vi, val in enumerate(the_def.values):
         dec = _decompose_combine(val, f, the_def.args, vi)
         if dec is None:
@@ -387,6 +388,7 @@ def _distributed_reduce(pipeline, sizes, mesh: Mesh, axis_name: str,
             raise CompileError(
                 f"distribute(rvar): no collective for op {op!r}")
         ops.append(op)
+        decs.append(dec)
         iv = f._defs[0].values[vi]
         ident = _identity_for(op, iv.dtype)
         isv = None
@@ -399,11 +401,42 @@ def _distributed_reduce(pipeline, sizes, mesh: Mesh, axis_name: str,
 
     rmin = _static_rint(rv.rmin)
     rext = _static_rint(rv.rextent)
-    if rext % n != 0:
-        raise CompileError(
-            f"distribute(rvar): extent {rext} not divisible by mesh "
-            f"axis {axis_name}={n}")
-    chunk = rext // n
+    chunk = -(-rext // n)   # ceil: uneven extents run a chunk-sized
+    # program on every shard; pad iterations contribute the identity
+    rpad = chunk * n
+    saved_values = None
+    if rpad != rext:
+        # ceil+mask semantics (the reduction analog of the spatial path's
+        # ceil+pad+crop): every shard still runs the same program over
+        # `chunk` iterations, and a 0/1 mask input -- sharded with the
+        # reduction exactly like any tracking input -- select()s the pad
+        # iterations' combine argument to the op's identity. VERDICT r4
+        # #9 / SURVEY §2.6: sharded RDoms are first-class, no
+        # divisibility constraint.
+        import numpy as np
+
+        from ..htypes import Int
+        from ..iroperator import select as hselect
+
+        mask_ip = ImageParam(Int(32), 1, "__ht_rmask")
+        mask_np = (np.arange(rmin, rmin + rpad)
+                   < rmin + rext).astype(np.int32)
+        mask_ip.set(Buffer(jnp.asarray(mask_np), mins=(rmin,),
+                           name="__ht_rmask"))
+        rv_e = E.Variable(rv.name, Int(32))
+        saved_values = list(the_def.values)
+        new_vals = []
+        for vi, val in enumerate(the_def.values):
+            op, gexpr = decs[vi]
+            ident = _identity_for(op, gexpr.dtype)
+            masked = hselect(mask_ip[rv_e] != 0, gexpr,
+                             E.const(ident, gexpr.dtype))
+            a_self = isinstance(val.a, E.Call) and val.a.target is f
+            if a_self:
+                new_vals.append(E.Binary(op, val.a, masked, val.dtype))
+            else:
+                new_vals.append(E.Binary(op, masked, val.b, val.dtype))
+        the_def.values = new_vals
 
     # footprint probes with the rvar restricted to shard slices classify
     # each input: dims that shift by chunk-steps shard, others replicate
@@ -459,11 +492,15 @@ def _distributed_reduce(pipeline, sizes, mesh: Mesh, axis_name: str,
         j, los, his = track[0]
         npax = ndt - 1 - j
         ext_j = buf.data.shape[npax]
-        if ext_j % n != 0:
+        # per-shard slab width IS the footprint shift between probes
+        # (ext_j // n is wrong for uneven extents, where the input is
+        # narrower than the n * ceil-chunk sharded span)
+        span = probe_idx[-1] - probe_idx[0]
+        dim_chunk = (his[-1] - his[0]) // span if span else ext_j
+        if dim_chunk <= 0:
             raise CompileError(
                 f"distribute(rvar): input {getattr(t, 'name', '?')} dim "
-                f"{j} extent {ext_j} not divisible by {n}")
-        dim_chunk = ext_j // n
+                f"{j} footprint does not advance with the reduction slice")
         # footprints must shift exactly with the slice (shift-covariant)
         for (pi, _b), lo, hi in zip(boxes, los, his):
             if lo != los[0] + pi * dim_chunk or \
@@ -472,6 +509,20 @@ def _distributed_reduce(pipeline, sizes, mesh: Mesh, axis_name: str,
                     f"distribute(rvar): input "
                     f"{getattr(t, 'name', '?')} dim {j} footprint does "
                     "not shift uniformly with the reduction slice")
+        need = n * dim_chunk
+        if ext_j < need:
+            # pad with edge values up to the sharded span: the pad region
+            # is only read by mask-discarded iterations, so content is
+            # irrelevant -- edge repeat keeps values in the input's range
+            edge = jax.lax.slice_in_dim(
+                buf.data, ext_j - 1, ext_j, axis=npax)
+            reps = jnp.concatenate([edge] * (need - ext_j), axis=npax)
+            buf = Buffer(jnp.concatenate([buf.data, reps], axis=npax),
+                         mins=buf._mins, name=buf.name)
+        elif ext_j > need:
+            raise CompileError(
+                f"distribute(rvar): input {getattr(t, 'name', '?')} dim "
+                f"{j} extent {ext_j} exceeds the sharded span {need}")
         mn_j = int(buf._mins[j])
         h_lo = max(0, mn_j - los[0])
         h_hi = max(0, his[0] - (mn_j + dim_chunk - 1))
@@ -541,4 +592,6 @@ def _distributed_reduce(pipeline, sizes, mesh: Mesh, axis_name: str,
         res = jax.block_until_ready(res)
     finally:
         rv.rmin, rv.rextent = saved_dom
+        if saved_values is not None:
+            the_def.values = saved_values
     return [res[0] if len(res) == 1 else res]

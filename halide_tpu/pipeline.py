@@ -237,13 +237,26 @@ def _multi_read_ids(g: _Graph) -> set:
 # i32(float_input[x]) -- bounds.py Cast falls back to [t.min, t.max]) is
 # "bounded" but never realizable: the reference errors with "accessed over
 # an unreasonably large range" (src/BoundsInference.cpp constant-bound
-# check) instead of allocating. 2^26 elements/dim keeps every legitimate
-# LUT (u16 histogram: 65,536) while rejecting type-range footprints.
-_MAX_REGION_EXTENT = 1 << 26
+# check) instead of allocating. The threshold matches the reference's
+# 2^31-element allocation guard (src/BoundSmallAllocations.cpp) so a
+# legitimate large-but-realizable axis (e.g. a 10^8-element 1-D func,
+# ~400 MB f32 in HBM) still compiles; _too_big_region below additionally
+# caps the PRODUCT of extents at the same 2^31 elements, which is what
+# catches multi-dim type-range footprints.
+_MAX_REGION_EXTENT = 1 << 31
 
 
 def _unreasonable(iv) -> bool:
     return (iv.hi - iv.lo + 1) > _MAX_REGION_EXTENT
+
+
+def _too_big_region(box) -> bool:
+    total = 1
+    for iv in box.dims:
+        total *= max(iv.hi - iv.lo + 1, 1)
+        if total > _MAX_REGION_EXTENT:
+            return True
+    return False
 
 
 class _BoundsPass:
@@ -269,6 +282,11 @@ class _BoundsPass:
                 # materialized but unused (e.g. wrapper target) — skip
                 continue
             self._self_fixpoint(f, box)
+            if _too_big_region(box):
+                raise CompileError(
+                    f"required region of {f.name} exceeds "
+                    f"{_MAX_REGION_EXTENT} total elements (accessed over an "
+                    "unreasonably large range); add clamp() or bound()")
             self._footprints(f, box)
 
     def _def_scope(self, f: Func, d, box: Box) -> Dict[str, Interval]:

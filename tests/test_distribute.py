@@ -384,3 +384,58 @@ def test_distribute_uneven_tuple_combined():
                                rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(np.asarray(out[1].to_numpy()), ref1,
                                rtol=1e-6, atol=1e-6)
+
+
+def test_distribute_rvar_uneven_extent():
+    # VERDICT r4 #9 / SURVEY 2.6: a 10-row reduction on an 8-mesh --
+    # ceil chunks (2/shard), pad iterations contribute the identity via
+    # the sharded 0/1 mask input; bit-exact vs the serial reduction
+    import jax
+    from jax.sharding import Mesh
+
+    import halide_tpu as hl
+    n = min(8, len(jax.devices()))
+    if n < 2:
+        pytest.skip("needs >=2 devices")
+    W, H = 32, 10
+    assert H % n != 0
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 100, (H, W)).astype(np.float32)
+
+    x = hl.Var("x")
+    inp = hl.ImageParam(hl.Float(32), 2, "ru_in")
+    inp.set(img)
+    r = hl.RDom(0, H, "rru")
+    f = hl.Func("ru_out")
+    f[x] = 0.0
+    f[x] += inp[x, r.x]
+    f.distribute(r.x, "shards")
+    mesh = Mesh(np.array(jax.devices()[:n]), ("shards",))
+    out = hl.Pipeline(f).realize([W], mesh=mesh).to_numpy()
+    np.testing.assert_allclose(np.asarray(out), img.sum(axis=0), rtol=1e-6)
+
+
+def test_distribute_rvar_uneven_max():
+    # min/max identities flow through the mask select too
+    import jax
+    from jax.sharding import Mesh
+
+    import halide_tpu as hl
+    n = min(8, len(jax.devices()))
+    if n < 2:
+        pytest.skip("needs >=2 devices")
+    W, H = 16, 11
+    rng = np.random.default_rng(22)
+    img = rng.random((H, W)).astype(np.float32)
+
+    x = hl.Var("x")
+    inp = hl.ImageParam(hl.Float(32), 2, "rumx_in")
+    inp.set(img)
+    r = hl.RDom(0, H, "rmu")
+    f = hl.Func("rumx_out")
+    f[x] = hl.Float(32).min_value()
+    f[x] = hl.max(f[x], inp[x, r.x])
+    f.distribute(r.x, "shards")
+    mesh = Mesh(np.array(jax.devices()[:n]), ("shards",))
+    out = hl.Pipeline(f).realize([W], mesh=mesh).to_numpy()
+    np.testing.assert_allclose(np.asarray(out), img.max(axis=0), rtol=1e-6)

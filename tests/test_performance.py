@@ -136,7 +136,11 @@ def _run_app(name, **kw):
     app.realize()
 
 
-def test_floor_blur_app_engages_pallas():
+def test_floor_blur_app_engages_pallas(monkeypatch):
+    # blur's MEASURED default is the fused-XLA lowering (round-5 sweep:
+    # 41.8us vs the best kernel's 51.1us); the row-band Pallas kernel is
+    # the opt-in A/B path and must still engage + match the golden
+    monkeypatch.setenv("HALIDE_TPU_BLUR_TILE", "128x64")
     from halide_tpu.ops import pallas_group as pg
     engaged = []
     orig = pg.try_pallas_group
