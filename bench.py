@@ -136,6 +136,12 @@ for _n in AUTOSCHED_SET:
     RANK[f"auto:{_n}"] = 27.5
 for _n in ("unsharp", "harris", "gaussian_blur"):
     RANK[f"auto:{_n}"] = 20.5
+# one MEASURED-tournament row (Anderson2021 autotunes by timing its top-K
+# beam candidates on the attached chip; reference:
+# src/autoschedulers/anderson2021 autotune_loop.sh): the driver-visible
+# autotuned record. Placed after the app set -- its tournament pays
+# several candidate compiles.
+RANK["auto2021:gaussian_blur"] = 20.9
 
 
 def _force(out):
@@ -271,13 +277,16 @@ def _bench_app(name):
     apps/*/filter.cpp prints Manually-tuned vs Auto-scheduled times)."""
     from halide_tpu.apps import APPS
     autosched = name.startswith("auto:")
-    base = name[5:] if autosched else name
+    tourney = name.startswith("auto2021:")
+    base = name.split(":", 1)[1] if (autosched or tourney) else name
     builder = APPS[base]
     try:
         app = builder(**APP_SIZES.get(base, CANONICAL))
     except TypeError:
         app = builder()
-    if autosched:
+    data = app.make_inputs()
+    app.bind(data)
+    if autosched or tourney:
         from halide_tpu.autoschedule import apply_autoscheduler
         # estimates drive the cost model (the reference feeds
         # set_estimates the same way, apps/*/ *_generator.cpp); the bench
@@ -288,9 +297,11 @@ def _bench_app(name):
                                      for s in app.output_sizes])
             except Exception:
                 pass
-        apply_autoscheduler(app.pipeline)
-    data = app.make_inputs()
-    app.bind(data)
+        # auto2021: the measured tournament (inputs are bound above, so
+        # the candidates compile and time on the attached chip)
+        params = ({"name": "Anderson2021", "samples": 3, "benchmarks": 3}
+                  if tourney else None)
+        apply_autoscheduler(app.pipeline, params=params)
     if os.environ.get("BENCH_CHECK"):
         # one correctness realize against the app's numpy golden
         # (catches backend miscompiles that CPU tests cannot see)
@@ -387,12 +398,14 @@ def _worker(apps, path):
         only = os.environ.get("BENCH_APPS")
         apps = list(APPS) + [f"auto:{n}" for n in AUTOSCHED_SET
                              if n in APPS]
+        if "gaussian_blur" in APPS:
+            apps.append("auto2021:gaussian_blur")
         apps = sorted(apps, key=lambda n: (RANK.get(n, 99), n))
         if only:
             keep = only.split(",")
             apps = [n for n in apps
-                    if n in keep or (n.startswith("auto:")
-                                     and n[5:] in keep)]
+                    if n in keep or (":" in n
+                                     and n.split(":", 1)[1] in keep)]
     w(event="apps", names=apps)
 
     fake_hang = os.environ.get("BENCH_FAKE_HANG")
@@ -405,6 +418,8 @@ def _worker(apps, path):
                 time.sleep(100000)
             if name == fake_crash:
                 os.abort()
+            if name == os.environ.get("BENCH_FAKE_UNAVAIL"):
+                raise RuntimeError("UNAVAILABLE: fake TPU worker crash")
             res = _bench_app(name)
             res.update(event="result", app=name, secs=time.monotonic() - t0)
             w(**res)
@@ -412,6 +427,21 @@ def _worker(apps, path):
                   f"{res['ms']:.3f} ms/frame", file=sys.stderr, flush=True)
         except Exception as e:
             w(event="error", app=name, err=f"{type(e).__name__}: {e}")
+            # a crashed TPU server poisons the connection: every further
+            # app would error instantly with UNAVAILABLE (observed: one
+            # camera_pipe fault burned the remaining 14 apps in seconds).
+            # Health-check; if the backend is gone, die so the parent
+            # respawns a fresh worker behind its wedge-drain backoff.
+            if ("UNAVAILABLE" in str(e) or "crashed" in str(e)
+                    or name == os.environ.get("BENCH_FAKE_UNAVAIL")):
+                try:
+                    if name == os.environ.get("BENCH_FAKE_UNAVAIL"):
+                        raise RuntimeError("fake backend loss")
+                    np.asarray(jnp.zeros((8,)).sum())
+                except Exception:
+                    w(event="error", app="__backend__",
+                      err="backend lost; worker exiting for respawn")
+                    os._exit(3)
     w(event="done")
 
 
@@ -422,7 +452,7 @@ def _emit(results, ratios, errors, device=""):
                           "errors": errors}), flush=True)
         return
     vals = [r["mp_per_s"] for k, r in results.items()
-            if not k.startswith("auto:") and k not in NON_HEADLINE]
+            if ":" not in k and k not in NON_HEADLINE]
     if not vals:
         vals = [r["mp_per_s"] for r in results.values()]
     geo = math.exp(sum(math.log(max(v, 1e-9)) for v in vals) / len(vals))

@@ -22,6 +22,7 @@ Callers gate on that bound for integer data.
 from __future__ import annotations
 
 import math
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -55,12 +56,22 @@ def digit_pair(lin, k2: int):
     return hi, lo
 
 
-def lut_gather(idx, tbl):
+def lut_gather(idx, tbl, oh_dtype=None):
     """Exact tbl[idx] for a 1-D f32-representable table via MXU contraction.
 
     idx: int array, any shape, values assumed in [0, K) (clip upstream).
     tbl: (K,) array; returned as float32 (exact selection), caller casts.
+    oh_dtype: dtype of the two materialized one-hot operands -- they are
+        the traffic cost of this lowering (two (pixels, ~sqrt(K)) arrays
+        vs one (pixels,) index read), and 0/1 are exact in ANY float
+        dtype, so bf16 halves the bytes without losing exactness (the
+        products against the f32 table stay exact; only one term per row
+        is nonzero so the f32 accumulation is a copy). Default from
+        HALIDE_TPU_LUT_OH (f32 | bf16).
     """
+    if oh_dtype is None:
+        oh_dtype = (jnp.bfloat16 if _os.environ.get(
+            "HALIDE_TPU_LUT_OH", "f32") == "bf16" else jnp.float32)
     K = tbl.shape[0]
     k1, k2 = split_k(K)
     pad = k1 * k2 - K
@@ -69,11 +80,12 @@ def lut_gather(idx, tbl):
         t = jnp.concatenate([t, jnp.zeros((pad,), jnp.float32)])
     tbl2 = t.reshape(k1, k2)
     hi, lo = digit_pair(idx, k2)
-    A = jax.nn.one_hot(hi, k1, dtype=jnp.float32)
-    B = jax.nn.one_hot(lo, k2, dtype=jnp.float32)
+    A = jax.nn.one_hot(hi, k1, dtype=oh_dtype)
+    B = jax.nn.one_hot(lo, k2, dtype=oh_dtype)
     # C[..., i] = sum_j B[..., j] * tbl2[i, j]
-    C = jnp.tensordot(B, tbl2, axes=[[-1], [1]], precision=_HI)
-    return jnp.sum(A * C, axis=-1)
+    C = jnp.tensordot(B.astype(jnp.float32), tbl2,
+                      axes=[[-1], [1]], precision=_HI)
+    return jnp.sum(A.astype(jnp.float32) * C, axis=-1)
 
 
 def scatter_add_factored(lin, g, K: int, red_axes, mode: str = "f32"):
