@@ -77,8 +77,11 @@ APP_SIZES = {
 DEFAULT_APP_S = float(os.environ.get("BENCH_APP_S", "80"))
 PER_APP_S = {
     "resnet_50": 220.0, "lens_blur": 150.0, "bilateral_grid": 120.0,
-    "camera_pipe": 120.0, "local_laplacian": 140.0, "nl_means": 120.0,
+    "camera_pipe": 150.0, "local_laplacian": 140.0, "nl_means": 120.0,
     "interpolate": 120.0, "max_filter": 120.0, "stencil_chain": 120.0,
+    # bgu's warm run fits the 80s default only when its AOT entry hits;
+    # a partial miss (fresh chain shape) needs the compile headroom
+    "bgu": 120.0,
 }
 if "BENCH_APP_S" in os.environ:
     # an explicit per-app budget is the UNIFORM budget: it replaces the
