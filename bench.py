@@ -95,9 +95,12 @@ INIT_S = float(os.environ.get("BENCH_INIT_S", "260"))
 
 # graphs where the fori_loop chain compile is pathological (resnet_50:
 # minutes; bilateral_grid: 400s vs 12s plain) or faults the worker
-# (lens_blur) -- these use host-loop differencing (frames >=4ms, so
-# per-call dispatch stays in the noise)
-NO_CHAIN = ("resnet_50", "lens_blur", "bilateral_grid")
+# (lens_blur; camera_pipe's poke-chain program compiles fine -- same hash,
+# same 60MB executable every time -- but EXECUTING it crashes the TPU
+# server process, reproduced 4x on 2026-08-19, wedging the tunnel ~10min
+# per hit) -- these use host-loop differencing (frames >=1ms, so per-call
+# dispatch stays in the noise)
+NO_CHAIN = ("resnet_50", "lens_blur", "bilateral_grid", "camera_pipe")
 
 # importance order: apps with reference-CPU baselines (they drive
 # vs_baseline) and the north-star set first, so budget exhaustion drops
@@ -498,6 +501,36 @@ def _emit(results, ratios, errors, device=""):
     print(json.dumps(summary), flush=True)
 
 
+def _purge_cache_since(t_wall):
+    """Delete compile-cache files modified since t_wall (a wall-clock
+    time.time() stamp). Called by the parent after SIGKILLing a worker:
+    a kill mid-cache-write leaves a TRUNCATED executable behind, and
+    loading a truncated entry hard-crashes the TPU server process (not a
+    read error -- observed: one poisoned camera_pipe chain entry crashed
+    every subsequent bench/diag run until removed by hand)."""
+    cache_dir = os.environ.get(
+        "BENCH_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".bench_cache"))
+    purged = []
+    try:
+        for fn in os.listdir(cache_dir):
+            if not fn.endswith("-cache"):
+                continue   # never touch probe_cache.json etc.
+            p = os.path.join(cache_dir, fn)
+            try:
+                if os.path.getmtime(p) >= t_wall - 1.0:
+                    os.unlink(p)
+                    purged.append(fn)
+            except OSError:
+                pass
+    except OSError:
+        pass
+    for fn in purged:
+        print(f"bench: purged possibly-truncated cache entry {fn}",
+              file=sys.stderr, flush=True)
+
+
 def main():
     t_start = time.monotonic()
     wall = float(os.environ.get("BENCH_WALL_S", "500"))
@@ -542,6 +575,7 @@ def main():
               file=sys.stderr, flush=True)
         current = "__init__"
         t_cur = time.monotonic()
+        t_cur_wall = time.time()
         worker_exit = None
         init_err = False
         while True:
@@ -555,6 +589,7 @@ def main():
                 elif kind == "start":
                     current = ev["app"]
                     t_cur = time.monotonic()
+                    t_cur_wall = time.time()
                     print(f"bench: {current}...", file=sys.stderr,
                           flush=True)
                 elif kind == "result":
@@ -599,6 +634,9 @@ def main():
                     proc.wait(timeout=10)
                 except Exception:
                     pass
+                # a SIGKILL can truncate an in-flight cache write; purge
+                # anything written during the killed app's window
+                _purge_cache_since(t_cur_wall)
                 if current == "__init__":
                     init_failures += 1
                     errors["__init__"] = f"worker init {why}"
@@ -618,7 +656,9 @@ def main():
             break
         if worker_exit not in (None, -9, 0) or init_err:
             # worker died on its own (a Mosaic abort kills the process
-            # with signal 6) or failed to initialize
+            # with signal 6) or failed to initialize; an abort can also
+            # truncate an in-flight cache write
+            _purge_cache_since(t_cur_wall)
             if current == "__init__":
                 init_failures += 1
                 errors.setdefault(
