@@ -231,15 +231,21 @@ def build(out_width: int = 2560, out_height: int = 1920,
         _by_name = {"denoised": denoised, "deinterleaved": deinterleaved,
                     "g_r": g_r, "g_b": g_b, "demosaiced": demosaiced,
                     "curved": curved, "unsharp_y": unsharp_y}
-        # measured on v5e at 2560x1920 (round-4 staging sweep):
-        #   deinterleaved,g_r,g_b,demosaiced,curved  1.81 ms  (old default)
-        #   g_r,g_b,demosaiced,curved                1.19 ms  <- default
-        #   g_r,g_b,curved (demosaic inline)         1.18 ms  (7 min compile)
-        #   deinterleaved,demosaiced,curved          1.71 ms
-        # materializing the half-res deinterleave costs more than
-        # recomputing the strided reads inside the consumers' fusions
+        # deinterleaved MUST materialize: inline, every raw read inside
+        # the demosaic becomes the non-affine composite 2*(x//2)+k, which
+        # lowers to full-image elementwise GATHERS (640 of them, measured
+        # 2689 ms/frame on v5e). The round-4 sweep that inlined it was
+        # measured with the pre-round-5 chain protocol, whose numbers
+        # while-loop LICM had hollowed out. Honest host-loop measurement
+        # on v5e at 2560x1920 (round 5):
+        #   deinterleaved,g_r,g_b,demosaiced,curved  4.36 ms  <- default
+        #   deinterleaved,g_r,g_b,curved             4.37 ms
+        #   deinterleaved,demosaiced,curved          4.38 ms
+        #   deinterleaved,g_r,g_b,demosaiced         6.23 ms
+        #   g_r,g_b,demosaiced,curved             2689 ms (old default)
         _roots = os.environ.get(
-            "HALIDE_TPU_CP_ROOTS", "g_r,g_b,demosaiced,curved")
+            "HALIDE_TPU_CP_ROOTS",
+            "deinterleaved,g_r,g_b,demosaiced,curved")
         for _n in filter(None, _roots.split(",")):
             if _n not in _by_name:
                 raise hl.CompileError(
