@@ -357,7 +357,15 @@ def _worker(apps, path):
     death (crash) per the current app. `apps` is a list, or None for "all
     registered apps in rank order" (the worker then reports the resolved
     list with an `apps` event so the parent can track skips)."""
+    t_init = time.monotonic()
+
+    def phase(tag):
+        print(f"bench: worker +{time.monotonic() - t_init:.1f}s {tag}",
+              file=sys.stderr, flush=True)
+
+    phase("spawned")
     import jax
+    phase("jax imported")
 
     f = open(path, "a", buffering=1)
 
@@ -395,11 +403,14 @@ def _worker(apps, path):
     # for ~47s; first op after recovery is slow)
     import jax.numpy as jnp
     dev = jax.devices()[0]
+    phase("device attached")
     np.asarray(jnp.arange(1024).sum())
+    phase("health roundtrip done")
     w(event="device", s=str(dev))
 
     from halide_tpu.apps import APPS, load_all
     load_all()
+    phase("apps loaded")
     if apps is None:
         only = os.environ.get("BENCH_APPS")
         apps = list(APPS) + [f"auto:{n}" for n in AUTOSCHED_SET
@@ -590,8 +601,9 @@ def main():
                     current = ev["app"]
                     t_cur = time.monotonic()
                     t_cur_wall = time.time()
-                    print(f"bench: {current}...", file=sys.stderr,
-                          flush=True)
+                    print(f"bench: {current}... "
+                          f"[wall {time.monotonic() - t_start:.0f}s]",
+                          file=sys.stderr, flush=True)
                 elif kind == "result":
                     results[ev["app"]] = {k: v for k, v in ev.items()
                                           if k not in ("event", "app")}
