@@ -82,6 +82,9 @@ PER_APP_S = {
     # bgu's warm run fits the 80s default only when its AOT entry hits;
     # a partial miss (fresh chain shape) needs the compile headroom
     "bgu": 120.0,
+    # the measured tournament compiles its top-K candidates; 80s killed it
+    # in the round-5 populate run (and the kill wedged the next worker)
+    "auto2021:gaussian_blur": 200.0,
 }
 if "BENCH_APP_S" in os.environ:
     # an explicit per-app budget is the UNIFORM budget: it replaces the
@@ -174,9 +177,19 @@ def bench_one(app, min_delta_s=0.1, max_n=128, chain_k=24, chain=True):
     import jax
     import jax.numpy as jnp
 
+    t_bb = time.monotonic()
+    verbose = os.environ.get("BENCH_VERBOSE")
+
+    def vphase(tag):
+        if verbose:
+            print(f"bench_one: +{time.monotonic() - t_bb:.1f}s {tag}",
+                  file=sys.stderr, flush=True)
+
     fn, input_arrays, _r, presets = app.pipeline._prepare(
         app.output_sizes, jit=False)
+    vphase("prepared")
     args = tuple(jax.device_put(a) for a in input_arrays)
+    vphase("inputs on device")
 
     @jax.jit
     def chain_run(args, k):
@@ -220,6 +233,7 @@ def bench_one(app, min_delta_s=0.1, max_n=128, chain_k=24, chain=True):
         if not chain:
             raise _SkipChain()
         _force(chain_run(args, jnp.int32(1)))   # one compile (k is traced)
+        vphase("chain compiled")
 
         def endpoint(k, trials=3):
             # MINIMUM endpoint, a stable order statistic: the per-call
@@ -237,9 +251,11 @@ def bench_one(app, min_delta_s=0.1, max_n=128, chain_k=24, chain=True):
         # rough single-shot frame estimate, only to size the chain so the
         # endpoint delta clears the ~2 ms RTT jitter floor
         est = max((endpoint(48, 1) - endpoint(12, 1)) / 36, 2e-5)
+        vphase(f"chain est {est*1e3:.3f} ms")
         k_hi = int(min(max(0.35 / est, 48), 511))
         k_lo = max(k_hi // 4, 8)
         per = (endpoint(k_hi) - endpoint(k_lo)) / (k_hi - k_lo)
+        vphase(f"chain endpoints done k={k_lo}/{k_hi}")
         # sub-microsecond per-frame deltas mean the chain was optimized
         # out or noise swamped the difference: fall back to host-loop
         # run-length differencing
@@ -253,6 +269,7 @@ def bench_one(app, min_delta_s=0.1, max_n=128, chain_k=24, chain=True):
     jfn = jax.jit(lambda a: fn(a, presets))
     out = jfn(args)
     _force(out)
+    vphase("host-loop jfn compiled")
 
     def run_n(n):
         t0 = time.perf_counter()
@@ -364,6 +381,15 @@ def _worker(apps, path):
               file=sys.stderr, flush=True)
 
     phase("spawned")
+    # graceful shutdown: the parent sends SIGTERM first. sys.exit from the
+    # handler unwinds through atexit, which closes the PJRT tunnel client
+    # cleanly -- a SIGKILLed client leaves the terminal's chip grant
+    # dangling and the NEXT client's first op blocks 150-200s (measured;
+    # this wedge, not import cost, is what ate the round-4 driver walls).
+    signal.signal(signal.SIGTERM, lambda *_a: sys.exit(143))
+    # cooperative wall budget (unix ts): skip apps that would start too
+    # close to the wall instead of being killed mid-app
+    wall_dl = float(os.environ.get("BENCH_WALL_DEADLINE", "0") or 0)
     import jax
     phase("jax imported")
 
@@ -428,6 +454,12 @@ def _worker(apps, path):
     fake_hang = os.environ.get("BENCH_FAKE_HANG")
     fake_crash = os.environ.get("BENCH_FAKE_CRASH")
     for name in apps:
+        if wall_dl and time.time() > wall_dl - 15:
+            # not enough wall left to finish another app: report a clean
+            # skip and keep going (each skip is O(1)) so the worker exits
+            # ZERO instead of being killed -- a kill wedges the next run
+            w(event="skipped", app=name)
+            continue
         w(event="start", app=name)
         t0 = time.monotonic()
         try:
@@ -576,10 +608,12 @@ def main():
         if left < 10:
             break
         csv = "ALL" if pending is None else ",".join(pending)
+        env = dict(os.environ)
+        env["BENCH_WALL_DEADLINE"] = str(time.time() + left - 20)
         proc = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--worker", path,
              csv],
-            stdout=sys.stderr, stderr=sys.stderr,
+            stdout=sys.stderr, stderr=sys.stderr, env=env,
             cwd=os.path.dirname(os.path.abspath(__file__)))
         n_apps = "?" if pending is None else str(len(pending))
         print(f"bench: worker {proc.pid} for {n_apps} apps",
@@ -608,6 +642,10 @@ def main():
                     results[ev["app"]] = {k: v for k, v in ev.items()
                                           if k not in ("event", "app")}
                     errors.pop(ev["app"], None)
+                    if pending and ev["app"] in pending:
+                        pending.remove(ev["app"])
+                elif kind == "skipped":
+                    errors[ev["app"]] = "skipped: bench budget exhausted"
                     if pending and ev["app"] in pending:
                         pending.remove(ev["app"])
                 elif kind == "error":
@@ -641,14 +679,25 @@ def main():
             if time.monotonic() - t_cur > dl or left < 5:
                 why = ("deadline exceeded" if left >= 5
                        else "bench wall budget exhausted")
+                # SIGTERM first: the worker's handler exits through atexit,
+                # closing the tunnel client cleanly. A SIGKILLed client
+                # wedges the NEXT client's first op for 150-200s (measured)
+                # AND can truncate an in-flight cache write.
+                graceful = False
                 try:
-                    proc.kill()
-                    proc.wait(timeout=10)
+                    proc.terminate()
+                    proc.wait(timeout=8)
+                    graceful = True
                 except Exception:
-                    pass
-                # a SIGKILL can truncate an in-flight cache write; purge
-                # anything written during the killed app's window
-                _purge_cache_since(t_cur_wall)
+                    try:
+                        proc.kill()
+                        proc.wait(timeout=10)
+                    except Exception:
+                        pass
+                if not graceful:
+                    # only a hard kill can truncate an in-flight cache
+                    # write; purge anything written during its window
+                    _purge_cache_since(t_cur_wall)
                 if current == "__init__":
                     init_failures += 1
                     errors["__init__"] = f"worker init {why}"

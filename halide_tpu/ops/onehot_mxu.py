@@ -88,6 +88,139 @@ def lut_gather(idx, tbl, oh_dtype=None):
     return jnp.sum(A.astype(jnp.float32) * C, axis=-1)
 
 
+def _pow2_split(K: int):
+    """K -> (k1, k2), BOTH powers of two, k1*k2 >= K, k2 ~ sqrt(K).
+    The block-diagonal kernel needs pow2 digits for shift/mask and for
+    the `m % k` lane/sublane masks."""
+    k2 = 1 << max(3, int(round(math.log2(max(K, 1)) / 2)))
+    k2 = min(k2, 128)
+    k1 = 1
+    while k1 * k2 < K:
+        k1 <<= 1
+    return k1, k2
+
+
+def rowhist_blockdiag(lin2d, K: int, interpret: bool = False,
+                      assume_in_range: bool = False):
+    """Per-row histogram counts[r, k] = |{p : lin2d[r, p] == k}| as f32,
+    one Pallas pass (reference analog: apps/hist's per-row hist_rows stage,
+    apps/hist/hist_generator.cpp:28-35).
+
+    The pure-XLA factored path (scatter_add_factored) materializes two
+    (R*P, ~sqrt(K)) one-hot operands in HBM -- for hist's 2560x1536 grid
+    that is ~250 MB of traffic, which measures ~0.55 ms on v5e (HBM-bound).
+    This kernel builds the one-hots in VMEM and packs B = 128/max(k1,k2)
+    rows into ONE block-diagonal (B*k1, P) x (B*k2, P) -> (128, 128)
+    "nt"-layout MXU matmul per group (row b's joint (hi, lo) histogram is
+    the b-th diagonal block), so HBM traffic collapses to the bins read
+    (~16 MB) and MXU utilization rises ~B-fold over the batched 16x16
+    einsum. The kernel emits the raw (M, N) block products; the cheap
+    diagonal-block extraction runs in XLA on the (R/B, M, N) result
+    (Mosaic-side slicing of the accumulator into (k1, k2) sub-blocks was
+    rejected by the Mosaic lowering). Exact: one-hots are 0/1 in bf16,
+    accumulation is f32 (preferred_element_type), counts < 2^24.
+
+    lin2d: (R, P) int32; entries outside [0, K) drop.
+    Returns (R, K) float32 counts.
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    R, P = lin2d.shape
+    k1, k2 = _pow2_split(K)
+    Kp = k1 * k2
+    B = 128 // max(k1, k2)
+    if B < 1:
+        raise ValueError(f"K={K} too wide for the block-diagonal kernel")
+    M, N = B * k1, B * k2
+    # prefer a lane block that DIVIDES P: jnp.pad on the minor axis is a
+    # full-array copy (~40 MB round-trip for hist) that erases the win
+    PB = 0
+    for cand in (1024, 896, 768, 640, 512, 384, 256, 128):
+        if P % cand == 0:
+            PB = cand
+            break
+    if not PB:
+        PB = min(1024, -(-P // 128) * 128)
+    sh = k2.bit_length() - 1
+
+    lin2d = jnp.asarray(lin2d, jnp.int32)
+    if not (assume_in_range and K == Kp):
+        # drop sentinel: anything outside [0, K) maps to Kp (hi digit ==
+        # k1, which no sublane mask matches). assume_in_range callers
+        # guarantee lin in [0, K]; when K == Kp the K sentinel itself
+        # already lands on hi == k1, so the pass is skipped entirely.
+        lin2d = jnp.where((lin2d < 0) | (lin2d >= K), jnp.int32(Kp), lin2d)
+    Rp = -(-R // B) * B
+    Pp = -(-P // PB) * PB
+    if Rp != R or Pp != P:
+        lin2d = jnp.pad(lin2d, ((0, Rp - R), (0, Pp - P)),
+                        constant_values=Kp)
+    n_rb = Rp // B
+    n_pb = Pp // PB
+
+    def kernel(bins_ref, out_ref, acc_ref):
+        # the select runs in f32 (same (8,128) native tiling as the i32
+        # compare mask -- selecting bf16 directly needs an i1 relayout to
+        # (16,128) that Mosaic rejects), then casts to bf16 for the MXU.
+        # Scalar literals, NOT jnp.ones(()): rank-0 array constants fail
+        # Mosaic legalization ("failed to legalize func.return").
+        one = jnp.float32(1)
+        zero = jnp.float32(0)
+        pj = pl.program_id(1)
+
+        @pl.when(pj == 0)
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        grp = bins_ref[...]                       # (B, PB) int32
+        hi = jax.lax.shift_right_logical(grp, jnp.int32(sh))
+        lo = jnp.bitwise_and(grp, jnp.int32(k2 - 1))
+        # sublane-repeat each row k times: (B, PB) -> (B*k, PB) with
+        # m = b*k + i; compare against the per-sublane digit iota
+        hi_r = jnp.broadcast_to(hi[:, None, :], (B, k1, PB)).reshape(M, PB)
+        lo_r = jnp.broadcast_to(lo[:, None, :], (B, k2, PB)).reshape(N, PB)
+        ii = jnp.bitwise_and(
+            jax.lax.broadcasted_iota(jnp.int32, (M, PB), 0),
+            jnp.int32(k1 - 1))
+        jj = jnp.bitwise_and(
+            jax.lax.broadcasted_iota(jnp.int32, (N, PB), 0),
+            jnp.int32(k2 - 1))
+        A = jnp.where(hi_r == ii, one, zero).astype(jnp.bfloat16)
+        Bm = jnp.where(lo_r == jj, one, zero).astype(jnp.bfloat16)
+        O = jax.lax.dot_general(                   # contract the lane axis
+            A, Bm, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)    # (M, N)
+        acc_ref[...] = acc_ref[...] + O
+
+        @pl.when(pj == n_pb - 1)
+        def _():
+            out_ref[0] = acc_ref[...]
+
+    blocks = pl.pallas_call(
+        kernel,
+        grid=(n_rb, n_pb),
+        in_specs=[pl.BlockSpec((B, PB), lambda ri, pj: (ri, pj))],
+        # literal 0s here lower as i64 constants under jax_enable_x64
+        # (halide_tpu enables it globally) and Mosaic rejects the mixed
+        # (i32, i64, i64) window transform -- derive the zeros from the
+        # i32 grid index instead
+        out_specs=pl.BlockSpec((1, M, N), lambda ri, pj: (ri, pj * 0,
+                                                          pj * 0)),
+        out_shape=jax.ShapeDtypeStruct((n_rb, M, N), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((M, N), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(lin2d)
+    # diagonal-block extraction (tiny: n_rb * 128 * 128 f32):
+    # out[g*B + b, i*k2 + j] = blocks[g, b*k1 + i, b*k2 + j]
+    b4 = blocks.reshape(n_rb, B, k1, B, k2)
+    diag = jnp.diagonal(b4, axis1=1, axis2=3)      # (n_rb, k1, k2, B)
+    out = jnp.moveaxis(diag, -1, 1).reshape(Rp, Kp)
+    return out[:R, :K]
+
+
 def scatter_add_factored(lin, g, K: int, red_axes, mode: str = "f32"):
     """Histogram: out[batch..., k] = sum_{red_axes} where(lin == k, g, 0).
 

@@ -1079,6 +1079,65 @@ def _dense_small_scatter(cur, op, garr, np_idx, vtype, identity, inner,
         # (batch, K) tensor)
         contrib = jnp.moveaxis(acc, 0, -1)
     if contrib is None and op in ("add", "sub") \
+            and K >= onehot_mxu.MIN_FACTOR_K \
+            and kept_elems >= 256 and 128 <= red_elems \
+            and not _os.environ.get("HT_NO_ROWHIST_KERNEL"):
+        # block-diagonal MXU row-histogram kernel (ops/onehot_mxu.py
+        # rowhist_blockdiag): the pure-XLA factored path below writes two
+        # (grid, ~sqrt(K)) one-hot operands to HBM (~250 MB for hist's
+        # 2560x1536 grid -- it measures HBM-bound); the kernel builds them
+        # in VMEM, so traffic collapses to the bins read. Constant-value
+        # case only (g folds into a post-scale of the counts).
+        e = vexpr
+        while isinstance(e, E.Cast):
+            e = e.value
+        gconst = None
+        if isinstance(e, (E.IntImm, E.FloatImm)):
+            gconst = float(e.value)
+        if gconst is not None:
+            # bf16-exactness via ml_dtypes (jnp.bfloat16(x) under an
+            # active trace constructs a tracer, not a numpy scalar)
+            import ml_dtypes
+            import numpy as _np
+            ok = (float(_np.float32(ml_dtypes.bfloat16(gconst))) == gconst
+                  and abs(gconst) * red_elems < (1 << 24))
+        else:
+            ok = False
+        if ok and not jnp.issubdtype(cur.dtype, jnp.floating):
+            ok = gconst == int(gconst)
+        if ok:
+            lin_b = jnp.broadcast_to(lin, jnp.broadcast_shapes(
+                jnp.shape(lin), jnp.shape(garr)))
+            nd_g = lin_b.ndim
+            dst = tuple(range(nd_g - len(red_np), nd_g))
+            linm = jnp.moveaxis(lin_b, red_np, dst)
+            kept_shape = linm.shape[:-len(red_np)]
+            lin2 = linm.reshape((kept_elems, red_elems))
+            try:
+                interp = jax.default_backend() != "tpu"
+                if not interp:
+                    # plan-time compile probe (persistent-cached): a Mosaic
+                    # rejection must surface HERE, where the factored-XLA
+                    # fallback below still exists -- at whole-pipeline
+                    # compile time nothing can fall back
+                    from .ops.pallas_group import _probe_full_kernel
+                    _probe_full_kernel(
+                        lambda l: onehot_mxu.rowhist_blockdiag(
+                            l, K, assume_in_range=True),
+                        [jax.ShapeDtypeStruct(lin2.shape, jnp.int32)],
+                        f"rowhist K={K}")
+                # lin is already clamped to [0, K] (OOB -> K sentinel)
+                counts = onehot_mxu.rowhist_blockdiag(
+                    lin2, K, interpret=interp, assume_in_range=True)
+                if gconst != 1.0:
+                    counts = counts * jnp.float32(gconst)
+                # op == "sub" stays: the caller computes cur - contrib
+                contrib = counts.reshape(tuple(kept_shape) + (K,))
+            except Exception:
+                if _os.environ.get("HT_PALLAS_STRICT"):
+                    raise
+                contrib = None
+    if contrib is None and op in ("add", "sub") \
             and K >= onehot_mxu.MIN_FACTOR_K and kept_elems <= 4096 \
             and not _os.environ.get("HT_NO_FACTORED_SCATTER"):
         # factored MXU histogram: two ~sqrt(K) one-hots + a batched matmul

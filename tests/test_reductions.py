@@ -375,3 +375,51 @@ def test_hist_factored_scatter_uses_bf16_mode(monkeypatch):
                      for r in inp.to_numpy()])
     np.testing.assert_array_equal(out, want)
     assert seen.get("mode") == "bf16", seen
+
+
+def test_rowhist_blockdiag_kernel_engages(monkeypatch):
+    # batch-heavy constant-value histograms (apps/hist's hist_rows at
+    # canonical size: 2560 rows) must route through the block-diagonal
+    # MXU kernel -- the pure-XLA factored path materializes two
+    # (grid, sqrt(K)) one-hots in HBM and measures HBM-bound
+    monkeypatch.setenv("HT_PALLAS_STRICT", "1")
+    from halide_tpu.ops import onehot_mxu
+    seen = {}
+    orig = onehot_mxu.rowhist_blockdiag
+
+    def spy(lin2, K, interpret=False, **kw):
+        seen["K"] = K
+        seen["shape"] = tuple(lin2.shape)
+        return orig(lin2, K, interpret=interpret, **kw)
+
+    monkeypatch.setattr(onehot_mxu, "rowhist_blockdiag", spy)
+    x, y = hl.Var("x"), hl.Var("y")
+    inp = hl.Buffer(np.random.default_rng(1).integers(
+        0, 256, (300, 640), np.uint8))
+    hr = hl.Func("hist_rows_bd")
+    hr[x, y] = 0
+    rx = hl.RDom(0, 640, "rx")
+    hr[hl.i32(inp[rx.x, y]), y] += 1
+    out = hr.realize([256, 300]).to_numpy()
+    want = np.stack([np.bincount(r, minlength=256)
+                     for r in inp.to_numpy()])
+    np.testing.assert_array_equal(out, want)
+    assert seen.get("K") == 256 and seen.get("shape") == (300, 640), seen
+
+
+def test_rowhist_blockdiag_direct_padding_and_drops():
+    # non-multiple R/P padding and out-of-range drop semantics, plus a
+    # non-pow2 K (pads to k1*k2 and crops)
+    import jax.numpy as jnp
+    from halide_tpu.ops import onehot_mxu
+    rng = np.random.default_rng(2)
+    for (R, P, K) in [(7, 130, 100), (64, 513, 256), (300, 128, 64)]:
+        lin = rng.integers(-2, K + 3, (R, P)).astype(np.int32)
+        got = np.asarray(onehot_mxu.rowhist_blockdiag(
+            jnp.asarray(lin), K, interpret=True))
+        want = np.zeros((R, K), np.float32)
+        for r in range(R):
+            v = lin[r]
+            v = v[(v >= 0) & (v < K)]
+            want[r] = np.bincount(v, minlength=K)
+        np.testing.assert_array_equal(got, want)
