@@ -1081,13 +1081,18 @@ def _dense_small_scatter(cur, op, garr, np_idx, vtype, identity, inner,
     if contrib is None and op in ("add", "sub") \
             and K >= onehot_mxu.MIN_FACTOR_K \
             and kept_elems >= 256 and 128 <= red_elems \
-            and not _os.environ.get("HT_NO_ROWHIST_KERNEL"):
+            and _os.environ.get("HT_ROWHIST_KERNEL"):
         # block-diagonal MXU row-histogram kernel (ops/onehot_mxu.py
-        # rowhist_blockdiag): the pure-XLA factored path below writes two
-        # (grid, ~sqrt(K)) one-hot operands to HBM (~250 MB for hist's
-        # 2560x1536 grid -- it measures HBM-bound); the kernel builds them
-        # in VMEM, so traffic collapses to the bins read. Constant-value
-        # case only (g folds into a post-scale of the counts).
+        # rowhist_blockdiag): standalone it beats the einsum path 2.4x
+        # (0.226 vs ~0.55 ms for hist's 2560x1536 scatter on v5e), BUT a
+        # pallas_call is a fusion boundary -- the bins operand must
+        # MATERIALIZE in HBM, while the einsum path consumes bins fused
+        # with the Y computation. Measured end-to-end on apps/hist the
+        # boundary costs more than the kernel saves (0.96 vs 0.79 ms
+        # total), so this is OPT-IN (HT_ROWHIST_KERNEL=1): it wins when
+        # the bins are already materialized (an input or a compute_root
+        # producer). Constant-value case only (g folds into a post-scale
+        # of the counts).
         e = vexpr
         while isinstance(e, E.Cast):
             e = e.value

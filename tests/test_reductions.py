@@ -383,6 +383,7 @@ def test_rowhist_blockdiag_kernel_engages(monkeypatch):
     # MXU kernel -- the pure-XLA factored path materializes two
     # (grid, sqrt(K)) one-hots in HBM and measures HBM-bound
     monkeypatch.setenv("HT_PALLAS_STRICT", "1")
+    monkeypatch.setenv("HT_ROWHIST_KERNEL", "1")
     from halide_tpu.ops import onehot_mxu
     seen = {}
     orig = onehot_mxu.rowhist_blockdiag
