@@ -48,6 +48,9 @@ _DENSE_COMBINE_MAX = 1 << 27
 # (HBM-bound), and a taps-deep MXU contraction wastes the systolic array
 import os as _os
 
+import ml_dtypes as _ml_dtypes
+import numpy as _np
+
 
 def _unroll_taps() -> int:
     return int(_os.environ.get("HALIDE_TPU_UNROLL_TAPS", "16"))
@@ -1001,8 +1004,11 @@ def _value_abs_bound(vexpr, vtype):
     e = vexpr
     while isinstance(e, E.Cast):
         e = e.value
-    if isinstance(e, (E.IntImm, E.FloatImm)):
-        return abs(e.value)
+    if isinstance(e, (E.IntImm, E.FloatImm)) \
+            and isinstance(e.value, (int, float, _np.integer, _np.floating)):
+        # concrete literals only: an Imm can carry a traced scalar (weight
+        # exprs folded from jit-traced Params), and float(tracer) raises
+        return abs(float(e.value))
     if vtype.is_integer() and vtype.bits <= 16:
         return max(abs(vtype.min_value()), abs(vtype.max_value()))
     return None
@@ -1167,7 +1173,10 @@ def _dense_small_scatter(cur, op, garr, np_idx, vtype, identity, inner,
                 if vtype is not None and vtype.is_integer() \
                         and float(b2) == int(b2) and b2 <= 256:
                     mode = "bf16"
-                elif float(jnp.bfloat16(float(b2))) == float(b2):
+                elif float(_ml_dtypes.bfloat16(float(b2))) == float(b2):
+                    # NB: jnp.bfloat16(x) binds convert_element_type in the
+                    # AMBIENT trace (returns a tracer even for a python
+                    # float under jit) -- the ml_dtypes scalar stays host
                     # bf16-exact magnitude bound only helps when the value
                     # itself is a constant (bound == |value|)
                     e = vexpr

@@ -377,6 +377,37 @@ def test_hist_factored_scatter_uses_bf16_mode(monkeypatch):
     assert seen.get("mode") == "bf16", seen
 
 
+@pytest.mark.parametrize("weight,want_mode", [(2.5, "bf16"), (0.1, "f32")])
+def test_float_weight_hist_bf16_gate_under_jit(monkeypatch, weight,
+                                               want_mode):
+    # the bf16-exactness gate for FLOAT constant weights must evaluate on
+    # the host: jnp.bfloat16(x) binds convert_element_type in the ambient
+    # jit trace (returns a tracer even for a python float), and float()
+    # on it raised ConcretizationTypeError -- lens_blur at small sizes
+    # (kept_elems <= 4096) crashed on exactly this path
+    from halide_tpu.ops import onehot_mxu
+    seen = {}
+    orig = onehot_mxu.scatter_add_factored
+
+    def spy(lin, g, K, red_axes, mode="f32"):
+        seen["mode"] = mode
+        return orig(lin, g, K, red_axes, mode=mode)
+
+    monkeypatch.setattr(onehot_mxu, "scatter_add_factored", spy)
+    x, y = hl.Var("x"), hl.Var("y")
+    inp = hl.Buffer(np.random.default_rng(2).integers(
+        0, 128, (7, 640), np.uint8))
+    hr = hl.Func(f"hist_fw_{want_mode}")
+    hr[x, y] = hl.f32(0)
+    rx = hl.RDom(0, 640, "rx")
+    hr[hl.i32(inp[rx.x, y]), y] += weight
+    out = hr.realize([128, 7]).to_numpy()
+    want = np.stack([np.bincount(r, minlength=128)
+                     for r in inp.to_numpy()]).astype(np.float64) * weight
+    np.testing.assert_allclose(out.astype(np.float64), want, rtol=1e-5)
+    assert seen.get("mode") == want_mode, seen
+
+
 def test_rowhist_blockdiag_kernel_engages(monkeypatch):
     # batch-heavy constant-value histograms (apps/hist's hist_rows at
     # canonical size: 2560 rows) must route through the block-diagonal
