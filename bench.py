@@ -260,7 +260,14 @@ def bench_one(app, min_delta_s=0.1, max_n=128, chain_k=24, chain=True):
         # endpoint delta clears the ~2 ms RTT jitter floor
         est = max((endpoint(48, 1) - endpoint(12, 1)) / 36, 2e-5)
         vphase(f"chain est {est*1e3:.3f} ms")
-        k_hi = int(min(max(0.35 / est, 48), 511))
+        # span the chain long enough that the endpoint delta dwarfs the
+        # ~2 ms tunnel RTT jitter: for a 50 us frame, k=511 gives a 20 ms
+        # delta (10% noise floor -- measured blur spread 53-71 us across
+        # runs); k=2047 gives 81 ms (~2.5%). The cap still bounds total
+        # chain wall at ~BENCH_CHAIN_SPAN_S per endpoint trial.
+        max_k = int(os.environ.get("BENCH_CHAIN_MAX_K", "2047"))
+        span_s = float(os.environ.get("BENCH_CHAIN_SPAN_S", "0.35"))
+        k_hi = int(min(max(span_s / est, 48), max_k))
         k_lo = max(k_hi // 4, 8)
         per = (endpoint(k_hi) - endpoint(k_lo)) / (k_hi - k_lo)
         vphase(f"chain endpoints done k={k_lo}/{k_hi}")
